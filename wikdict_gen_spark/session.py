@@ -1,0 +1,55 @@
+"""SparkSession construction with scale-oriented defaults.
+
+One place to set every knob so tests, bench and the pipeline run the same
+configuration.  Defaults target the sandbox (single JVM, local[k]); on a
+real cluster the same settings apply per-executor and the master URL comes
+from spark-submit.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    parallelism: int | None = None,
+    app_name: str = "wikdict_gen_spark",
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession.
+
+    parallelism: local core count; default $SPARK_GRAFT_CPUS or 32.
+    shuffle_partitions: defaults to the core count — at sandbox data sizes
+    more partitions only add scheduling overhead; at cluster scale this is
+    overridden to O(total cores).
+    """
+    cpus = parallelism or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    shuffle = shuffle_partitions or cpus
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        # AQE: runtime partition coalescing + skew-join splitting
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle))
+        .config("spark.default.parallelism", str(cpus))
+        # Arrow is the transport for every pandas UDF in the engine
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # deterministic sessions: no timezone surprises in timestamp columns
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    return builder.getOrCreate()
+
+
+def stop_spark() -> None:
+    """Stop the active session (needed to switch local[k] parallelism)."""
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()
