@@ -1,0 +1,103 @@
+"""Tests for the training-data operators: dedup, similarity, text analysis."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from wikdict_gen_spark.operators import dedup, similarity, textstats
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog", "en"),
+    (2, "The  quick brown fox jumps over the lazy dog", "en"),  # ws/case dup of 1
+    (3, "the quick brown fox jumps over the lazy cat today", "en"),  # near-dup
+    (4, "der schnelle braune fuchs springt und ist nicht langsam", "de"),
+    (5, "completely different content about spark engines and data", "en"),
+    (6, "le chat est sur la table et il ne dort pas", "fr"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string, lang string")
+
+
+class TestDedup:
+    def test_exact(self, docs, spark):
+        out = dedup.exact_dedup(docs).collect()
+        by_id = {r["doc_id"]: r["n_dups"] for r in out}
+        assert by_id[1] == 2  # doc 2 collapsed into doc 1
+        assert 2 not in by_id
+        assert by_id[3] == 1
+
+    def test_minhash_lsh_finds_near_dup(self, docs):
+        sh = dedup.shingles(docs, k=2)
+        sig = dedup.minhash_signatures(sh, num_hashes=16)
+        pairs = dedup.lsh_candidate_pairs(sig, num_hashes=16, bands=8).collect()
+        pair_set = {(r["id_a"], r["id_b"]) for r in pairs}
+        assert (1, 2) in pair_set
+        assert (1, 3) in pair_set or (2, 3) in pair_set
+        assert (4, 5) not in pair_set
+
+    def test_ngram_jaccard(self, docs, spark):
+        pairs = spark.createDataFrame([(1, 2), (1, 5)], "id_a long, id_b long")
+        out = {(r["id_a"], r["id_b"]): r["jaccard"] for r in dedup.ngram_jaccard(docs, pairs).collect()}
+        assert out[(1, 2)] == pytest.approx(1.0)
+        assert (1, 5) not in out or out[(1, 5)] < 0.2
+
+    def test_simhash_near_dups_close(self, docs):
+        sig = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs).collect()}
+        def hamming(a, b):
+            return sum(x != y for x, y in zip(a, b))
+        assert hamming(sig[1], sig[2]) == 0
+        assert hamming(sig[1], sig[3]) <= hamming(sig[1], sig[5])
+
+
+class TestSimilarity:
+    def test_brute_force_topk_self_is_nearest(self, spark):
+        import random
+
+        rng = random.Random(7)
+        rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(50)]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        queries = spark.createDataFrame(rows[:3], "query_id long, embedding array<double>")
+        out = similarity.brute_force_topk(emb, queries, k=3)
+        top1 = {r["query_id"]: r["vec_id"] for r in out.where(F.col("rank") == 1).collect()}
+        for q in range(3):
+            assert top1[q] == q  # cosine(self) == 1
+
+    def test_lsh_topk_subset_of_bucket(self, spark):
+        import random
+
+        rng = random.Random(7)
+        rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(80)]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        queries = spark.createDataFrame(rows[:3], "query_id long, embedding array<double>")
+        out = similarity.lsh_topk(emb, queries, dim=8, k=3, n_planes=4)
+        top1 = {r["query_id"]: r["vec_id"] for r in out.where(F.col("rank") == 1).collect()}
+        for q in range(3):
+            assert top1[q] == q  # identical vector always shares the bucket
+
+
+class TestTextStats:
+    def test_token_count(self, docs):
+        out = {r["doc_id"]: r["n_tokens"] for r in textstats.token_count(docs).collect()}
+        assert out[1] == 9
+
+    def test_language_id(self, docs):
+        out = {r["doc_id"]: r["lang_pred"] for r in textstats.language_id(docs).collect()}
+        assert out[1] == "en"
+        assert out[4] == "de"
+        assert out[6] == "fr"
+
+    def test_quality_score_range(self, docs):
+        out = textstats.quality_score(docs).collect()
+        assert all(0.0 <= r["quality"] <= 1.0 for r in out)
+        by_id = {r["doc_id"]: r["quality"] for r in out}
+        assert by_id[1] >= 0.75  # clean english sentence
+
+    def test_fingerprint_dup_detection(self, docs):
+        out = {r["doc_id"]: (r["fp_exact"], r["fp_winnow"]) for r in textstats.fingerprint(docs).collect()}
+        assert out[1][0] == out[2][0]  # normalized exact dup
+        assert out[1][1] == out[2][1]
+        assert out[1][0] != out[5][0]

@@ -251,7 +251,9 @@ def _plant_special_cases(plan: _Plan, rng: random.Random) -> None:
     _add_trans(plan, rng, "de", "dehaus", de_haus, None, "rough gloss building", "gloss", "en", "enhouse")
     # gloss-only row must survive
     fr_maison = _add_entry(plan, rng, "fr", "frmaison", "noun", 1, gender="feminine")
-    _add_trans(plan, rng, "de", "dehaus", de_haus, None, "Traductions à trier", "gloss", "fr", "frmaison")
+    _add_trans(plan, rng, "de", "dehaus", de_haus, None, "rough house gloss", "gloss", "fr", "frmaison")
+    # fr dummy sense -> NULL sense in the processed table (F7/X5)
+    _add_trans(plan, rng, "fr", "frmaison", fr_maison, "1", "Traductions à trier", "sense", "de", "dehaus")
 
     # -- 5: alias cluster around dehaus (chain + hot hub star)
     hub_rep = _rep("dehaus")

@@ -1,0 +1,166 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All hashing is md5-based (hex strings) so results are engine-portable:
+on 32-char fixed-width hex, lexicographic MIN equals numeric MIN, which
+lets the DuckDB oracle reproduce every operator bit-for-bit.  At cluster
+scale each operator is shuffle-minimal: one groupBy on the dedup key
+(exact), or shingle-explode -> per-band bucket join (MinHash LSH) with
+the band signature as the shuffle key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _norm_text(col):
+    """Normalization shared by all dedup ops: lowercase, collapse whitespace."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact dedup on normalized text hash; keeps the minimum id per group.
+
+    One shuffle on the 128-bit content hash; output adds n_dups.
+    """
+    h = F.md5(_norm_text(F.col(text_col))).alias("content_hash")
+    return (
+        docs.select(F.col(id_col), h)
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+    )
+
+
+def shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+             k: int = 3) -> DataFrame:
+    """Word k-gram shingles per document (distinct), via JVM-side array ops."""
+    toks = F.split(_norm_text(F.col(text_col)), " ")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0))),
+        lambda i: F.array_join(F.slice(toks, i + 1, k), " "),
+    )
+    return docs.select(
+        F.col(id_col), F.explode(F.array_distinct(grams)).alias("shingle")
+    )
+
+
+def minhash_signatures(sh: DataFrame, id_col: str = "doc_id",
+                       num_hashes: int = 16) -> DataFrame:
+    """MinHash signature per doc: for seed i, min over md5(i || shingle).
+
+    Seeded rehash of each shingle; hex-string min == numeric min.  Output:
+    (id, minhash array of length num_hashes).
+    """
+    hashed = sh.select(
+        F.col(id_col),
+        *[
+            F.md5(F.concat(F.lit(f"seed{i}:"), F.col("shingle"))).alias(f"h{i}")
+            for i in range(num_hashes)
+        ],
+    )
+    return hashed.groupBy(id_col).agg(
+        F.array(*[F.min(f"h{i}") for i in range(num_hashes)]).alias("minhash")
+    )
+
+
+def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
+                        num_hashes: int = 16, bands: int = 4) -> DataFrame:
+    """Band the signatures and bucket-join: docs sharing any band signature
+    become a candidate pair (id_a < id_b, distinct).
+
+    The shuffle key is (band_idx, band_signature) — hot buckets (boilerplate
+    text) are the skew point; AQE splits them and the band hash spreads
+    distinct contents.
+    """
+    rows_per_band = num_hashes // bands
+    banded = signatures.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.array_join(
+                                F.slice(F.col("minhash"), b * rows_per_band + 1, rows_per_band),
+                                "|",
+                            )
+                        ).alias("sig"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bs"),
+    ).select(id_col, F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(b, ["band", "sig"])
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def ngram_jaccard(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text", k: int = 3) -> DataFrame:
+    """Exact shingle-set Jaccard for candidate pairs (verification step)."""
+    sh = shingles(docs, id_col, text_col, k)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    sh_a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    sh_b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        pairs.join(sh_a, "id_a")
+        .join(sh_b, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("n", "n_a"), "id_a")
+        .join(sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("n", "n_b"), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("n_inter").cast("double")
+             / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))).alias("jaccard"),
+        )
+    )
+
+
+def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+            bits: int = 16) -> DataFrame:
+    """SimHash fingerprint: per bit, sign of the sum of token-hash bits.
+
+    Uses md5-derived bits (portable).  bits kept small (16) so the oracle
+    can mirror it with per-bit SQL aggregation.
+    """
+    toks = docs.select(
+        F.col(id_col), F.explode(F.split(_norm_text(F.col(text_col)), " ")).alias("tok")
+    )
+    h = toks.withColumn("hh", F.md5(F.col("tok")))
+    # bit i of the token hash = parity of hex nibble i (LSB)
+    bit_cols = [
+        (
+            F.when(
+                F.conv(F.substring(F.col("hh"), i + 1, 1), 16, 10).cast("int") % 2 == 1,
+                F.lit(1),
+            ).otherwise(F.lit(-1))
+        ).alias(f"b{i}")
+        for i in range(bits)
+    ]
+    sums = h.select(F.col(id_col), *bit_cols).groupBy(id_col).agg(
+        *[F.sum(f"b{i}").alias(f"s{i}") for i in range(bits)]
+    )
+    sig = sums.select(
+        F.col(id_col),
+        F.concat(
+            *[F.when(F.col(f"s{i}") > 0, F.lit("1")).otherwise(F.lit("0")) for i in range(bits)]
+        ).alias("simhash"),
+    )
+    return sig

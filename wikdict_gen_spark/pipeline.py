@@ -1,0 +1,118 @@
+"""End-to-end KG-construction pipeline: pages -> kg.nodes + kg.edges.
+
+Stage DAG (each stage = one committed snapshot, resumable via Catalog):
+
+    pages ── extract ── raw_* ──┬─ entry ─┬─ importance ─┐
+                                │         ├─ form        │
+                                │         └──────────────┼─ translation ─ all_trans
+                                │                        │        │
+                                └─ nym ── alias_edges ── canonical │
+                                                          │   backlink ─ infer ─ infer_grouped
+                                                          │        │
+                                                 kg_nodes ┴─ kg_edges
+
+Kill the driver after any stage and re-run: committed stages are read
+back, nothing is recomputed, and the final snapshot is identical (tested).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from wikdict_gen_spark.catalog import Catalog
+from wikdict_gen_spark.operators import canonicalize, generic, infer, materialize, process
+from wikdict_gen_spark.operators.extract import extract_text, parse_records
+
+RAW_TABLES = ["entry", "pos", "gender", "pronun", "form", "translation", "nym"]
+
+
+def run_pipeline(
+    spark: SparkSession,
+    pages_path: str,
+    workdir: str,
+    stop_after: str | None = None,
+) -> dict[str, DataFrame]:
+    """Run (or resume) the full pipeline; returns all stage DataFrames.
+
+    stop_after: name of the last stage to commit (for resume testing).
+    """
+    cat = Catalog(spark, workdir)
+    out: dict[str, DataFrame] = {}
+    done = [False]
+
+    def stage(name: str, build, partition_by: list[str] | None = None) -> DataFrame:
+        if done[0]:
+            return None  # type: ignore[return-value]
+        df = cat.ensure(name, build, partition_by)
+        out[name] = df
+        if stop_after == name:
+            done[0] = True
+        return df
+
+    pages = spark.read.parquet(pages_path)
+    extracted = stage("extracted", lambda: extract_text(pages), ["lang"])
+    if done[0]:
+        return out
+
+    raw = parse_records(extracted)
+    for t in RAW_TABLES:
+        stage(f"raw_{t}", lambda t=t: raw[t])
+        if done[0]:
+            return out
+
+    raws = {t: out[f"raw_{t}"] for t in RAW_TABLES}
+    entry = stage("entry", lambda: process.make_entry(
+        raws["entry"], raws["pos"], raws["gender"], raws["pronun"]))
+    if done[0]:
+        return out
+    form = stage("form", lambda: process.make_form(raws["form"]))
+    if done[0]:
+        return out
+    importance = stage("importance", lambda: process.make_importance(
+        entry, raws["translation"], raws["nym"]))
+    if done[0]:
+        return out
+    translation = stage("translation", lambda: process.make_translation(
+        raws["translation"], entry, importance))
+    if done[0]:
+        return out
+    all_trans = stage("all_trans", lambda: process.make_all_trans(translation),
+                      ["from_lang", "to_lang"])
+    if done[0]:
+        return out
+
+    backlink = stage("backlink", lambda: infer.backlink_score(all_trans))
+    if done[0]:
+        return out
+    fused = stage("infer", lambda: infer.fuse_evidence(all_trans, backlink),
+                  ["from_lang", "to_lang"])
+    if done[0]:
+        return out
+    grouped = stage("infer_grouped", lambda: infer.group_inferred(fused),
+                    ["from_lang", "to_lang"])
+    if done[0]:
+        return out
+    graded = stage("translation_graded", lambda: generic.grade_translations(grouped))
+    if done[0]:
+        return out
+    stage("translation_grouped", lambda: generic.group_translations(graded))
+    if done[0]:
+        return out
+    stage("simple_translation", lambda: generic.simple_translations(fused, importance))
+    if done[0]:
+        return out
+
+    aliases = stage("alias_edges", lambda: canonicalize.alias_edges(entry, raws["nym"]))
+    if done[0]:
+        return out
+    canonical = stage("canonical", lambda: canonicalize.connected_components(aliases))
+    if done[0]:
+        return out
+
+    stage("kg_edges", lambda: materialize.translation_edges(fused).unionByName(
+        materialize.structural_edges(entry, raws["pronun"], form, raws["nym"])),
+        ["from_lang"])
+    if done[0]:
+        return out
+    stage("kg_nodes", lambda: materialize.build_nodes(entry, importance, canonical), ["lang"])
+    return out
