@@ -47,8 +47,8 @@ ALL_TRANS_SQL = """
         's' || (l_orderkey % 4) AS sense,
         'w' || (l_partkey % 40) AS from_vocable,
         'w' || (l_orderkey % 40) AS to_vocable,
-        (l_suppkey % 100) / 128.0 AS from_importance,
-        (l_partkey % 100) / 128.0 AS to_importance
+        (l_suppkey % 100) / CAST(128 AS DOUBLE) AS from_importance,
+        (l_partkey % 100) / CAST(128 AS DOUBLE) AS to_importance
     FROM lineitem
     WHERE (l_suppkey % 3) != (l_partkey % 3)
 """
@@ -621,10 +621,11 @@ m AS (
     FROM t
 )
 SELECT doc_id,
-    (CASE WHEN len_ok THEN 0.25 ELSE 0.0 END
-     + CASE WHEN punct_ratio <= 0.1 THEN 0.25 ELSE 0.0 END
-     + CASE WHEN stop_ratio >= 0.05 THEN 0.25 ELSE 0.0 END
-     + CASE WHEN mean_word >= 3.0 AND mean_word <= 12.0 THEN 0.25 ELSE 0.0 END) AS quality
+    (CASE WHEN len_ok THEN CAST(0.25 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END
+     + CASE WHEN punct_ratio <= 0.1 THEN CAST(0.25 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END
+     + CASE WHEN stop_ratio >= 0.05 THEN CAST(0.25 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END
+     + CASE WHEN mean_word >= 3.0 AND mean_word <= 12.0
+            THEN CAST(0.25 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END) AS quality
 FROM m
 """
 
@@ -654,17 +655,19 @@ def q_language_id(spark, sf_dir):
 
 
 def _langid_sql() -> str:
+    """Argmax via packed integer hits*K+idx — matches Spark's array_max over
+    struct(hits, lang): highest hits wins, ties go to the highest lang code."""
+    langs = sorted(T.STOPWORDS)  # idx order == lang code order
+    n = len(langs)
     cases = []
     for lang, words in sorted(T.STOPWORDS.items()):
         wl = ", ".join(f"'{w}'" for w in words)
         cases.append(f"len(list_filter(toks, x -> x IN ({wl}))) AS hits_{lang}")
     hits = ", ".join(cases)
-    langs = sorted(T.STOPWORDS.items())
-    # argmax with ties broken by language code DESC-insensitive order:
-    # Spark's array_max on struct(hits, lang) picks highest hits, then highest lang
-    best = "greatest(" + ", ".join(
-        f"struct_pack(hits := hits_{lang}, lang := '{lang}')" for lang, _ in langs
+    packed = "greatest(" + ", ".join(
+        f"hits_{lang} * {n} + {i}" for i, lang in enumerate(langs)
     ) + ")"
+    mapping = " ".join(f"WHEN {i} THEN '{lang}'" for i, lang in enumerate(langs))
     return f"""
 WITH t AS (
     SELECT doc_id,
@@ -672,9 +675,9 @@ WITH t AS (
     FROM documents
 ),
 h AS (SELECT doc_id, {hits} FROM t),
-b AS (SELECT doc_id, {best} AS best FROM h)
+b AS (SELECT doc_id, {packed} AS m FROM h)
 SELECT doc_id,
-    CASE WHEN best.hits > 0 THEN best.lang ELSE 'und' END AS lang_pred
+    CASE WHEN m // {n} > 0 THEN (CASE m % {n} {mapping} END) ELSE 'und' END AS lang_pred
 FROM b
 """
 

@@ -1,0 +1,165 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Default mode (driver contract): runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS], plus one full KG-pipeline throughput run over a
+cached synthetic pages corpus, and prints ONE JSON line:
+    {"metric": ..., "value": <total sec>, "unit": "sec",
+     "queries": {...}, "sf": ..., "triples_per_sec": ...}
+
+--throughput-only --cpus N : print only the pipeline throughput JSON
+    (used by --scaling via subprocesses for clean JVMs).
+--scaling : run the same pipeline job at local[8] and local[32],
+    report both throughputs + scaling efficiency, write BENCH.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+HEADLINE = [
+    "q_gap_rule",            # full inference lineage: backlink -> pivot -> fusion -> gap
+    "q_evidence_fusion",
+    "q_entry_assembly",
+    "q_topk_mean_norm",
+    "q_window_rank",
+    "q_exact_dedup",
+    "q_minhash_signature",
+    "q_language_id",
+    "q_ann_topk",
+]
+
+BENCH_CONCEPTS = int(os.environ.get("SPARK_GRAFT_BENCH_CONCEPTS", "40000"))
+
+
+def bench_corpus() -> str:
+    """Build (or reuse) the deterministic bench pages corpus."""
+    d = Path(tempfile.gettempdir()) / f"wikdict_bench_corpus_{BENCH_CONCEPTS}"
+    marker = d / "_DONE"
+    if not marker.exists():
+        from wikdict_gen_spark.fixtures import build_fixture
+
+        if d.exists():
+            shutil.rmtree(d)
+        build_fixture(d, n_concepts=BENCH_CONCEPTS, seed=42)
+        marker.touch()
+    return str(d / "pages.parquet")
+
+
+def pipeline_throughput(cpus: int) -> dict:
+    """Full pipeline (extract -> kg_edges) wall time and triples/sec."""
+    from wikdict_gen_spark.pipeline import run_pipeline
+    from wikdict_gen_spark.session import get_spark
+
+    pages = bench_corpus()
+    work = tempfile.mkdtemp(prefix=f"wikdict_bench_{cpus}_")
+    spark = get_spark(parallelism=cpus, app_name=f"bench{cpus}",
+                      shuffle_partitions=max(cpus, 8))
+    # warm the JVM + python workers so we measure compute, not startup
+    spark.read.parquet(pages).limit(1000).count()
+    t0 = time.monotonic()
+    out = run_pipeline(spark, pages, work)
+    triples = out["kg_edges"].count()
+    wall = time.monotonic() - t0
+    spark.stop()
+    shutil.rmtree(work, ignore_errors=True)
+    return {"cpus": cpus, "wall_s": round(wall, 2), "triples": triples,
+            "triples_per_sec": round(triples / wall, 1)}
+
+
+def run_headline(sf_dir: str, cpus: int) -> dict:
+    import __spark_entry__ as entrymod
+    from wikdict_gen_spark.session import get_spark
+
+    spark = get_spark(parallelism=cpus, app_name="bench", shuffle_partitions=cpus)
+    queries = entrymod.queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        df = queries[name](spark, sf_dir)
+        df.count()  # warm: plan + scan caches
+        t0 = time.monotonic()
+        df.count()
+        timings[name] = round(time.monotonic() - t0, 3)
+    spark.stop()
+    return timings
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--throughput-only", action="store_true")
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    args = ap.parse_args()
+
+    if args.throughput_only:
+        print(json.dumps(pipeline_throughput(args.cpus)))
+        return
+
+    if args.scaling:
+        results = []
+        for cpus in (8, 32):
+            r = subprocess.run(
+                [sys.executable, __file__, "--throughput-only", "--cpus", str(cpus)],
+                capture_output=True, text=True, check=True,
+            )
+            results.append(json.loads(r.stdout.strip().splitlines()[-1]))
+        lo, hi = results
+        eff = (hi["triples_per_sec"] / lo["triples_per_sec"]) / (hi["cpus"] / lo["cpus"])
+        report = {
+            "n_cores": lo, "n4_cores": hi,
+            "scaling_efficiency": round(eff, 3),
+        }
+        print(json.dumps(report))
+        _write_bench_md(report)
+        return
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    timings = run_headline(sf_dir, args.cpus)
+    thr = pipeline_throughput(args.cpus)
+    print(json.dumps({
+        "metric": "headline_queries_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir,
+        "pipeline_triples": thr["triples"],
+        "pipeline_wall_s": thr["wall_s"],
+        "triples_per_sec": thr["triples_per_sec"],
+    }))
+
+
+def _write_bench_md(report: dict) -> None:
+    lo, hi = report["n_cores"], report["n4_cores"]
+    Path("BENCH.md").write_text(f"""# BENCH — two-parallelism scaling evidence
+
+Same full-pipeline job (pages -> extract -> process -> infer -> canonicalize
+-> kg.edges) on the same deterministic corpus
+({BENCH_CONCEPTS} concepts, seed 42), run at two local parallelism levels
+as the sandbox substitute for N vs 4N executors.
+
+| parallelism | wall (s) | triples | triples/sec |
+|---|---|---|---|
+| local[{lo['cpus']}] | {lo['wall_s']} | {lo['triples']} | {lo['triples_per_sec']} |
+| local[{hi['cpus']}] | {hi['wall_s']} | {hi['triples']} | {hi['triples_per_sec']} |
+
+**Scaling efficiency ({lo['cpus']} -> {hi['cpus']} cores):**
+`({hi['triples_per_sec']} / {lo['triples_per_sec']}) / {hi['cpus'] // lo['cpus']} =
+{report['scaling_efficiency']}` (target >= 0.8)
+
+Generated by `python bench.py --scaling`.
+""")
+
+
+if __name__ == "__main__":
+    main()
