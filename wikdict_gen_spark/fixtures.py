@@ -367,7 +367,8 @@ def build_fixture(out_dir: str | Path, n_concepts: int = 120, seed: int = 42) ->
 
     def write(name: str, table: pa.Table) -> None:
         path = out / f"{name}.parquet"
-        pq.write_table(table, path)
+        # modest row groups keep single-file fixtures splittable for Spark
+        pq.write_table(table, path, row_group_size=20000)
         paths[name] = str(path)
 
     write(

@@ -198,14 +198,13 @@ def apply_sense_gloss_precedence(raw_translation: DataFrame) -> DataFrame:
     return sense.unionByName(gloss_only)
 
 
-def make_translation(raw_translation: DataFrame, entry: DataFrame,
-                     importance: DataFrame) -> DataFrame:
-    """Build the processed translation table for all language pairs.
+def make_translation_base(raw_translation: DataFrame, entry: DataFrame,
+                          importance: DataFrame) -> DataFrame:
+    """Precedence + markup cleanup + source-side joins (the UDF-heavy half).
 
-    Entity linking: the cleaned surface form `trans` resolves to the target
-    language's vocabulary through the written_rep_guess dictionary; targets
-    with no importance row get the 0.001 floor.  The link join is the #1
-    skew point (hot surface forms), handled by skew_aware_join.
+    Committed separately from the link join so the Arrow-batched cleaning
+    runs exactly once even though the skew-aware link join scans its probe
+    side twice (hot-key detection + join).
     """
     t = apply_sense_gloss_precedence(raw_translation)
     t = (
@@ -220,7 +219,18 @@ def make_translation(raw_translation: DataFrame, entry: DataFrame,
         "vocable",
         F.col("rel_score").alias("from_importance"),
     )
-    t = t.join(from_imp, ["from_lang", "vocable"])
+    return t.join(from_imp, ["from_lang", "vocable"])
+
+
+def make_translation(translation_base: DataFrame, importance: DataFrame) -> DataFrame:
+    """Entity linking + duplicate collapse (the join-heavy half).
+
+    The cleaned surface form `trans` resolves to the target language's
+    vocabulary through the written_rep_guess dictionary; targets with no
+    importance row get the 0.001 floor.  The link join is the #1 skew
+    point (hot surface forms), handled by skew_aware_join.
+    """
+    t = translation_base
     to_imp = importance.select(
         F.col("lang").alias("to_lang"),
         F.col("written_rep_guess").alias("trans"),

@@ -51,11 +51,20 @@ def skew_aware_join(
     by construction: it has at most as many rows as there are hot keys
     times dim duplication).
     """
-    hot = F.broadcast(hot_keys(fact, keys, threshold).withColumn("__hot", F.lit(True)))
-    tagged = fact.join(hot, keys, "left")
+    hot = hot_keys(fact, keys, threshold).persist()
+    try:
+        n_hot = hot.count()  # materialize once; reused by both paths
+    except Exception:
+        hot.unpersist()
+        raise
+    if n_hot == 0:
+        hot.unpersist()
+        return fact.join(dim, keys, how)
+    hot_tag = F.broadcast(hot.withColumn("__hot", F.lit(True)))
+    tagged = fact.join(hot_tag, keys, "left")
     fact_hot = tagged.where(F.col("__hot").isNotNull()).drop("__hot")
     fact_cold = tagged.where(F.col("__hot").isNull()).drop("__hot")
-    dim_hot = dim.join(F.broadcast(hot_keys(fact, keys, threshold)), keys, "semi")
+    dim_hot = dim.join(F.broadcast(hot), keys, "semi")
     joined_hot = fact_hot.join(F.broadcast(dim_hot), keys, how)
     joined_cold = fact_cold.join(dim, keys, how)
     return joined_hot.unionByName(joined_cold)

@@ -49,14 +49,21 @@ def run_pipeline(
             done[0] = True
         return df
 
+    cores = spark.sparkContext.defaultParallelism
     pages = spark.read.parquet(pages_path)
-    extracted = stage("extracted", lambda: extract_text(pages), ["lang"])
+    # single-file local corpora arrive as one unsplittable row group; widen
+    # the scan so the extraction UDFs use every core (a real crawl is
+    # thousands of files and skips this shuffle)
+    if pages.rdd.getNumPartitions() < cores * 2:
+        pages = pages.repartition(cores * 2)
+    extracted = stage("extracted", lambda: extract_text(pages))
     if done[0]:
         return out
 
     raw = parse_records(extracted)
     for t in RAW_TABLES:
-        stage(f"raw_{t}", lambda t=t: raw[t])
+        # coalesce: fact fan-out shrinks per table; avoid tiny-file commits
+        stage(f"raw_{t}", lambda t=t: raw[t].coalesce(cores))
         if done[0]:
             return out
 
@@ -72,8 +79,12 @@ def run_pipeline(
         entry, raws["translation"], raws["nym"]))
     if done[0]:
         return out
-    translation = stage("translation", lambda: process.make_translation(
+    translation_base = stage("translation_base", lambda: process.make_translation_base(
         raws["translation"], entry, importance))
+    if done[0]:
+        return out
+    translation = stage("translation", lambda: process.make_translation(
+        translation_base, importance))
     if done[0]:
         return out
     all_trans = stage("all_trans", lambda: process.make_all_trans(translation),
