@@ -28,7 +28,7 @@ def extract_text(pages: DataFrame) -> DataFrame:
     )
 
 
-def _records(extracted: DataFrame) -> DataFrame:
+def records(extracted: DataFrame) -> DataFrame:
     """Explode page text into tab-separated record lines (tag, parts)."""
     lines = extracted.select(
         "url",
@@ -47,13 +47,16 @@ def _f(i: int):
     return F.nullif(F.element_at(F.col("p"), i + 1), F.lit(""))
 
 
-def parse_records(extracted: DataFrame) -> dict[str, DataFrame]:
+def parse_records(extracted: DataFrame, recs: DataFrame | None = None) -> dict[str, DataFrame]:
     """Structure detection: record lines -> raw fact DataFrames.
 
     Returns dict with keys entry/pos/gender/pronun/form/translation/nym.
-    Shapes mirror the reference's raw tables (schemas.RAW_*).
+    Shapes mirror the reference's raw tables (schemas.RAW_*).  Pass a
+    pre-materialized `recs` (from records()) to avoid re-exploding the
+    page bodies once per fact table.
     """
-    recs = _records(extracted)
+    if recs is None:
+        recs = records(extracted)
 
     def tagged(tag: str) -> DataFrame:
         return recs.where(F.col("tag") == f"#{tag}")

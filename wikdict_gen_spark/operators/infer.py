@@ -204,16 +204,25 @@ def direct_reverse(all_trans: DataFrame) -> DataFrame:
     )
 
 
-def fuse_evidence(all_trans: DataFrame, backlink: DataFrame | None = None) -> DataFrame:
+def fuse_evidence(
+    all_trans: DataFrame,
+    backlink: DataFrame | None = None,
+    indirect_df: DataFrame | None = None,
+) -> DataFrame:
     """Union direct/indirect/reverse evidence and fuse per candidate edge.
 
     Reverse edges are kept only where no direct/indirect edge exists for
     the same (langs, vocable pair) — an anti-join fallback.  Fusion sums
     scores and collects sources per (langs, lexentry, sense, vocable pair,
     importances); source lists are sorted for determinism.
+
+    Pass a materialized indirect_df to avoid computing the composition
+    join twice (it feeds both the union and the anti-join probe).
     """
     backlink = backlink if backlink is not None else backlink_score(all_trans)
-    with_lexentry = direct(all_trans).unionByName(indirect(all_trans, backlink))
+    if indirect_df is None:
+        indirect_df = indirect(all_trans, backlink)
+    with_lexentry = direct(all_trans).unionByName(indirect_df)
     reverse_only = direct_reverse(all_trans).join(
         with_lexentry.select(*_EDGE_KEYS).distinct(), _EDGE_KEYS, "left_anti"
     )

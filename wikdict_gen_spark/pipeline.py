@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from wikdict_gen_spark.catalog import Catalog
 from wikdict_gen_spark.operators import canonicalize, generic, infer, materialize, process
-from wikdict_gen_spark.operators.extract import extract_text, parse_records
+from wikdict_gen_spark.operators.extract import extract_text, parse_records, records
 
 RAW_TABLES = ["entry", "pos", "gender", "pronun", "form", "translation", "nym"]
 
@@ -60,7 +60,12 @@ def run_pipeline(
     if done[0]:
         return out
 
-    raw = parse_records(extracted)
+    # explode page bodies into record lines exactly once; the seven raw
+    # tables are cheap filters of this committed table
+    recs = stage("records", lambda: records(extracted))
+    if done[0]:
+        return out
+    raw = parse_records(extracted, recs)
     for t in RAW_TABLES:
         # coalesce: fact fan-out shrinks per table; avoid tiny-file commits
         stage(f"raw_{t}", lambda t=t: raw[t].coalesce(cores))
@@ -87,20 +92,20 @@ def run_pipeline(
         translation_base, importance))
     if done[0]:
         return out
-    all_trans = stage("all_trans", lambda: process.make_all_trans(translation),
-                      ["from_lang", "to_lang"])
+    all_trans = stage("all_trans", lambda: process.make_all_trans(translation))
     if done[0]:
         return out
 
     backlink = stage("backlink", lambda: infer.backlink_score(all_trans))
     if done[0]:
         return out
-    fused = stage("infer", lambda: infer.fuse_evidence(all_trans, backlink),
-                  ["from_lang", "to_lang"])
+    indirect_df = stage("indirect", lambda: infer.indirect(all_trans, backlink))
     if done[0]:
         return out
-    grouped = stage("infer_grouped", lambda: infer.group_inferred(fused),
-                    ["from_lang", "to_lang"])
+    fused = stage("infer", lambda: infer.fuse_evidence(all_trans, backlink, indirect_df))
+    if done[0]:
+        return out
+    grouped = stage("infer_grouped", lambda: infer.group_inferred(fused))
     if done[0]:
         return out
     graded = stage("translation_graded", lambda: generic.grade_translations(grouped))
