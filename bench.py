@@ -44,15 +44,15 @@ BENCH_CONCEPTS = int(os.environ.get("SPARK_GRAFT_BENCH_CONCEPTS", "40000"))
 
 
 def bench_corpus() -> str:
-    """Build (or reuse) the deterministic bench pages corpus."""
+    """Build (or reuse) the deterministic bench pages corpus (parallel gen)."""
     d = Path(tempfile.gettempdir()) / f"wikdict_bench_corpus_{BENCH_CONCEPTS}"
     marker = d / "_DONE"
     if not marker.exists():
-        from wikdict_gen_spark.fixtures import build_fixture
+        from wikdict_gen_spark.fixtures import build_bench_corpus
 
         if d.exists():
             shutil.rmtree(d)
-        build_fixture(d, n_concepts=BENCH_CONCEPTS, seed=42)
+        build_bench_corpus(d, n_concepts=BENCH_CONCEPTS, seed=42, workers=16)
         marker.touch()
     return str(d / "pages.parquet")
 

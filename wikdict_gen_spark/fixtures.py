@@ -281,9 +281,13 @@ def _plant_special_cases(plan: _Plan, rng: random.Random) -> None:
 
 def _plant_background(plan: _Plan, rng: random.Random, n_concepts: int) -> None:
     """Organic seeded translation graph over concepts 10..n."""
+    _plant_background_range(plan, rng, 10, n_concepts)
+
+
+def _plant_background_range(plan: _Plan, rng: random.Random, lo: int, hi: int) -> None:
     pos_choices = ("noun", "verb", "adjective")
     present: dict[tuple[str, int], str] = {}
-    for c in range(10, n_concepts):
+    for c in range(lo, hi):
         for lang in LANGS:
             if rng.random() < 0.9:
                 present[(lang, c)] = _word(lang, c)
@@ -334,6 +338,70 @@ def _page_text(rng: random.Random, lang: str, word: str, records: list[str]) -> 
     lines.extend(records)
     lines.append(f"Ende des Artikels {rep}.")
     return "\n".join(lines)
+
+
+def _chunk_pages(args: tuple) -> str:
+    """Worker: generate pages for a concept range into one parquet part.
+
+    Chunk 0 also plants the special semantic cases.  Deterministic per
+    (seed, chunk) regardless of worker scheduling.
+    """
+    out_dir, chunk_idx, lo, hi, seed = args
+    rng = random.Random(seed * 1_000_003 + chunk_idx)
+    plan = _Plan()
+    if chunk_idx == 0:
+        _plant_special_cases(plan, rng)
+    _plant_background_range(plan, rng, lo, hi)
+    pages = {"url": [], "warc_ts": [], "html": [], "text": [], "lang": []}
+    for i, ((lang, word), recs) in enumerate(sorted(plan.page_records.items())):
+        url = f"https://fixture.test/{lang}/{word}"
+        clean = _page_text(rng, lang, word, recs)
+        html_str = _dirty_html(rng, clean)
+        pages["url"].append(url)
+        pages["warc_ts"].append(_EPOCH + datetime.timedelta(seconds=chunk_idx * 1_000_000 + i))
+        pages["html"].append(html_str.encode("utf-8"))
+        pages["text"].append(html_str)
+        pages["lang"].append(lang)
+    part = Path(out_dir) / "pages.parquet" / f"part-{chunk_idx:04d}.parquet"
+    pq.write_table(
+        pa.table(
+            {
+                "url": pa.array(pages["url"], pa.string()),
+                "warc_ts": pa.array(pages["warc_ts"], pa.timestamp("us", tz="UTC")),
+                "html": pa.array(pages["html"], pa.binary()),
+                "text": pa.array(pages["text"], pa.string()),
+                "lang": pa.array(pages["lang"], pa.string()),
+            }
+        ),
+        part,
+        row_group_size=20000,
+    )
+    return str(part)
+
+
+def build_bench_corpus(out_dir: str | Path, n_concepts: int, seed: int = 42,
+                       workers: int = 8) -> str:
+    """Parallel pages-only corpus for throughput benchmarking.
+
+    Writes pages.parquet as a directory of parts (splittable, many files —
+    the realistic crawl layout).  No plan/oracle tables: benchmarks measure
+    throughput, correctness is the small fixture's job.
+    """
+    from multiprocessing import Pool
+
+    out = Path(out_dir)
+    (out / "pages.parquet").mkdir(parents=True, exist_ok=True)
+    chunk = max(1, (n_concepts - 10) // workers + 1)
+    jobs = []
+    lo = 10
+    idx = 0
+    while lo < n_concepts:
+        hi = min(lo + chunk, n_concepts)
+        jobs.append((str(out), idx, lo, hi, seed))
+        lo, idx = hi, idx + 1
+    with Pool(min(workers, len(jobs))) as pool:
+        pool.map(_chunk_pages, jobs)
+    return str(out / "pages.parquet")
 
 
 def build_fixture(out_dir: str | Path, n_concepts: int = 120, seed: int = 42) -> dict[str, str]:

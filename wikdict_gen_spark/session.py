@@ -43,6 +43,13 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         # long pipelines: reclaim broadcast/shuffle state promptly
         .config("spark.cleaner.periodicGC.interval", "2min")
+        # many-stage pipelines generate hundreds of codegen classes; the
+        # default 240m code cache fills and the JIT stops compiling, which
+        # silently triples stage times late in a run
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing",
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
