@@ -65,7 +65,7 @@ def pipeline_throughput(cpus: int) -> dict:
     pages = bench_corpus()
     work = tempfile.mkdtemp(prefix=f"wikdict_bench_{cpus}_")
     spark = get_spark(parallelism=cpus, app_name=f"bench{cpus}",
-                      shuffle_partitions=max(cpus, 8))
+                      shuffle_partitions=cpus * 2)
     # warm the JVM + python workers so we measure compute, not startup
     spark.read.parquet(pages).limit(1000).count()
     t0 = time.monotonic()

@@ -133,7 +133,7 @@ def make_form(raw_form: DataFrame) -> DataFrame:
     )
 
 
-def make_importance(entry: DataFrame, raw_translation: DataFrame, raw_nym: DataFrame) -> DataFrame:
+def make_importance(entry: DataFrame, cleaned_translation: DataFrame, raw_nym: DataFrame) -> DataFrame:
     """Node salience: sqrt(#distinct translations) + sqrt(#distinct synonym referrers).
 
     Output: (lang, vocable, written_rep_guess, score, rel_score), one row
@@ -141,10 +141,9 @@ def make_importance(entry: DataFrame, raw_translation: DataFrame, raw_nym: DataF
     """
     lex2voc = entry.select("lexentry", "vocable", "lang")
     trans_counts = (
-        raw_translation.withColumn("trans_c", clean_wiki_syntax_udf(F.col("trans")))
-        .join(lex2voc, "lexentry")
+        cleaned_translation.join(lex2voc, "lexentry")
         .groupBy("lang", "vocable")
-        .agg(F.countDistinct("to_lang", "trans_c").alias("n_trans"))
+        .agg(F.countDistinct("to_lang", "trans").alias("n_trans"))
     )
     # synonym referrers: nym rows whose target surface matches the vocable guess
     syn_counts = (
@@ -172,9 +171,23 @@ def make_importance(entry: DataFrame, raw_translation: DataFrame, raw_nym: DataF
         )
         .drop("n_trans", "n_syn")
     )
-    # top-k mean per language; deterministic tie-break on vocable
+    # top-k mean per language; deterministic tie-break on vocable.
+    # two-phase: a salted per-bucket top-k prunes candidates in parallel
+    # before the per-lang window — one task per language would otherwise
+    # sort the whole vocabulary serially.
+    salt = F.pmod(F.xxhash64("vocable"), F.lit(32))
+    w_bucket = Window.partitionBy("lang", salt).orderBy(
+        F.col("score").desc(), F.col("vocable")
+    )
+    candidates = (
+        imp.withColumn("__rn", F.row_number().over(w_bucket))
+        .where(F.col("__rn") <= C.TOP_K_NORM)
+        .drop("__rn")
+    )
     w = Window.partitionBy("lang").orderBy(F.col("score").desc(), F.col("vocable"))
-    top = imp.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") <= C.TOP_K_NORM)
+    top = candidates.withColumn("__rn", F.row_number().over(w)).where(
+        F.col("__rn") <= C.TOP_K_NORM
+    )
     high = top.groupBy("lang").agg(F.avg("score").alias("high_score"))
     return (
         imp.join(F.broadcast(high), "lang")
@@ -183,14 +196,19 @@ def make_importance(entry: DataFrame, raw_translation: DataFrame, raw_nym: DataF
     )
 
 
-def apply_sense_gloss_precedence(raw_translation: DataFrame) -> DataFrame:
+def clean_translations(raw_translation: DataFrame) -> DataFrame:
+    """Canonicalize the translation surface form (one UDF pass, committed
+    once — precedence, importance and linking all consume it)."""
+    return raw_translation.withColumn("trans", clean_wiki_syntax_udf(F.col("trans")))
+
+
+def apply_sense_gloss_precedence(cleaned: DataFrame) -> DataFrame:
     """Sense-attributed translations beat gloss-attributed ones.
 
     Anti-join on the *cleaned* translation surface (canonical form), then
     union — a gloss row survives only when no sense row exists for the
     same (lexentry, target-lang, cleaned trans).
     """
-    cleaned = raw_translation.withColumn("trans", clean_wiki_syntax_udf(F.col("trans")))
     sense = cleaned.where(F.col("trans_kind") == "sense")
     gloss = cleaned.where(F.col("trans_kind") == "gloss")
     keys = ["lexentry", "to_lang", "trans"]
@@ -198,7 +216,7 @@ def apply_sense_gloss_precedence(raw_translation: DataFrame) -> DataFrame:
     return sense.unionByName(gloss_only)
 
 
-def make_translation_base(raw_translation: DataFrame, entry: DataFrame,
+def make_translation_base(cleaned_translation: DataFrame, entry: DataFrame,
                           importance: DataFrame) -> DataFrame:
     """Precedence + markup cleanup + source-side joins (the UDF-heavy half).
 
@@ -206,7 +224,7 @@ def make_translation_base(raw_translation: DataFrame, entry: DataFrame,
     runs exactly once even though the skew-aware link join scans its probe
     side twice (hot-key detection + join).
     """
-    t = apply_sense_gloss_precedence(raw_translation)
+    t = apply_sense_gloss_precedence(cleaned_translation)
     t = (
         t.withColumn("sense_num", sense_num_udf(F.col("sense_num")))
         .withColumn("sense", parse_sense_udf(F.col("sense"), F.col("from_lang")))

@@ -80,12 +80,16 @@ def run_pipeline(
     form = stage("form", lambda: process.make_form(raws["form"]))
     if done[0]:
         return out
+    translation_clean = stage("translation_clean", lambda: process.clean_translations(
+        raws["translation"]))
+    if done[0]:
+        return out
     importance = stage("importance", lambda: process.make_importance(
-        entry, raws["translation"], raws["nym"]))
+        entry, translation_clean, raws["nym"]))
     if done[0]:
         return out
     translation_base = stage("translation_base", lambda: process.make_translation_base(
-        raws["translation"], entry, importance))
+        translation_clean, entry, importance))
     if done[0]:
         return out
     translation = stage("translation", lambda: process.make_translation(
