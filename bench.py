@@ -58,10 +58,16 @@ def bench_corpus() -> str:
 
 
 def pipeline_throughput(cpus: int) -> dict:
-    """Full pipeline (extract -> kg_edges) wall time and triples/sec."""
+    """Full pipeline (extract -> kg_edges) wall time and triples/sec.
+
+    Mode via $SPARK_GRAFT_BENCH_MODE: 'fused' (default — one lazy lineage,
+    terminal write only: the cluster-job shape) or 'checkpoint' (committed
+    snapshot per stage: the resumable production shape).
+    """
     from wikdict_gen_spark.pipeline import run_pipeline
     from wikdict_gen_spark.session import get_spark
 
+    fused = os.environ.get("SPARK_GRAFT_BENCH_MODE", "fused") == "fused"
     pages = bench_corpus()
     work = tempfile.mkdtemp(prefix=f"wikdict_bench_{cpus}_")
     spark = get_spark(parallelism=cpus, app_name=f"bench{cpus}",
@@ -69,12 +75,17 @@ def pipeline_throughput(cpus: int) -> dict:
     # warm the JVM + python workers so we measure compute, not startup
     spark.read.parquet(pages).limit(1000).count()
     t0 = time.monotonic()
-    out = run_pipeline(spark, pages, work)
-    triples = out["kg_edges"].count()
+    out = run_pipeline(spark, pages, work, fused=fused)
+    if fused:
+        out["kg_edges"].write.mode("overwrite").parquet(f"{work}/kg_edges_out")
+        triples = spark.read.parquet(f"{work}/kg_edges_out").count()
+    else:
+        triples = out["kg_edges"].count()
     wall = time.monotonic() - t0
     spark.stop()
     shutil.rmtree(work, ignore_errors=True)
     return {"cpus": cpus, "wall_s": round(wall, 2), "triples": triples,
+            "mode": "fused" if fused else "checkpoint",
             "triples_per_sec": round(triples / wall, 1)}
 
 

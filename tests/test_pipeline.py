@@ -195,6 +195,15 @@ class TestDeterminismAndResume:
                 "from_vocable", "trans_list", "score"]
         assert _rows(built["infer_grouped"], cols) == _rows(out2["infer_grouped"], cols)
 
+    def test_fused_mode_identical(self, spark, fixture_dir, built, tmp_path_factory):
+        """The fused (cache-only, terminal-write) mode must produce the same
+        graph as the checkpointed mode."""
+        work = tmp_path_factory.mktemp("pipeline_fused")
+        out = run_pipeline(spark, f"{fixture_dir}/pages.parquet", str(work), fused=True)
+        cols = ["subj", "pred", "obj"]
+        assert _rows(out["kg_edges"], cols) == _rows(built["kg_edges"], cols)
+        spark.catalog.clearCache()
+
     def test_resume_after_partial(self, spark, fixture_dir, built, tmp_path_factory):
         """Stop after an early stage, resume: final snapshot identical and
         committed stages are not recomputed (verified via marker mtimes)."""

@@ -145,10 +145,12 @@ def make_importance(entry: DataFrame, cleaned_translation: DataFrame, raw_nym: D
         .groupBy("lang", "vocable")
         .agg(F.countDistinct("to_lang", "trans").alias("n_trans"))
     )
-    # synonym referrers: nym rows whose target surface matches the vocable guess
+    # synonym referrers: nym rows whose target surface matches the vocable
+    # guess.  Renamed join keys: in fused mode every stage shares one
+    # lineage, so same-name attributes collide without explicit aliases.
     syn_counts = (
         raw_nym.where(F.col("nym") == "synonym")
-        .groupBy("lang", F.col("t_rep").alias("guess"))
+        .groupBy(F.col("lang").alias("syn_lang"), F.col("t_rep").alias("guess"))
         .agg(F.countDistinct("f").alias("n_syn"))
     )
     vocables = entry.select("lang", "vocable").distinct().withColumn(
@@ -158,12 +160,11 @@ def make_importance(entry: DataFrame, cleaned_translation: DataFrame, raw_nym: D
         vocables.join(trans_counts, ["lang", "vocable"], "left")
         .join(
             syn_counts,
-            (vocables["lang"] == syn_counts["lang"])
-            & (vocables["written_rep_guess"] == syn_counts["guess"]),
+            (F.col("lang") == F.col("syn_lang"))
+            & (F.col("written_rep_guess") == F.col("guess")),
             "left",
         )
-        .drop(syn_counts["lang"])
-        .drop("guess")
+        .drop("syn_lang", "guess")
         .withColumn(
             "score",
             F.sqrt(F.coalesce(F.col("n_trans"), F.lit(0)).cast("double"))

@@ -31,11 +31,21 @@ def run_pipeline(
     pages_path: str,
     workdir: str,
     stop_after: str | None = None,
+    fused: bool = False,
 ) -> dict[str, DataFrame]:
     """Run (or resume) the full pipeline; returns all stage DataFrames.
 
     stop_after: name of the last stage to commit (for resume testing).
+
+    fused=True replaces per-stage snapshot commits with lazy in-memory
+    caching (MEMORY_AND_DISK): shared stages materialize once on first use
+    and the only durable writes are the terminal actions.  This is the
+    max-throughput shape (what a cluster job with only terminal Iceberg
+    writes looks like); the default checkpointed mode is the resumable
+    production shape.
     """
+    from pyspark import StorageLevel
+
     cat = Catalog(spark, workdir)
     out: dict[str, DataFrame] = {}
     done = [False]
@@ -43,7 +53,10 @@ def run_pipeline(
     def stage(name: str, build, partition_by: list[str] | None = None) -> DataFrame:
         if done[0]:
             return None  # type: ignore[return-value]
-        df = cat.ensure(name, build, partition_by)
+        if fused:
+            df = build().persist(StorageLevel.MEMORY_AND_DISK)
+        else:
+            df = cat.ensure(name, build, partition_by)
         out[name] = df
         if stop_after == name:
             done[0] = True

@@ -27,6 +27,12 @@ def get_spark(
     """
     cpus = parallelism or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     shuffle = shuffle_partitions or cpus
+    # shuffle spill to RAM-backed storage when available: the sandbox has
+    # 125G RAM and small shuffles; on a cluster spark.local.dir comes from
+    # the cluster manager and this default is irrelevant
+    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if local_dir is None and os.path.isdir("/dev/shm"):
+        local_dir = "/dev/shm/spark-local"
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
@@ -60,6 +66,8 @@ def get_spark(
             os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", str(32 * 1024 * 1024)),
         )
     )
+    if local_dir:
+        builder = builder.config("spark.local.dir", local_dir)
     return builder.getOrCreate()
 
 
