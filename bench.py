@@ -67,7 +67,7 @@ def pipeline_throughput(cpus: int) -> dict:
     from wikdict_gen_spark.pipeline import run_pipeline
     from wikdict_gen_spark.session import get_spark
 
-    fused = os.environ.get("SPARK_GRAFT_BENCH_MODE", "fused") == "fused"
+    fused = os.environ.get("SPARK_GRAFT_BENCH_MODE", "checkpoint") == "fused"
     pages = bench_corpus()
     work = tempfile.mkdtemp(prefix=f"wikdict_bench_{cpus}_")
     spark = get_spark(parallelism=cpus, app_name=f"bench{cpus}",
@@ -118,8 +118,10 @@ def main() -> None:
         return
 
     if args.scaling:
+        pair = os.environ.get("SPARK_GRAFT_SCALE_PAIR", "2,8")
+        lo_c, hi_c = (int(x) for x in pair.split(","))
         results = []
-        for cpus in (8, 32):
+        for cpus in (lo_c, hi_c):
             r = subprocess.run(
                 [sys.executable, __file__, "--throughput-only", "--cpus", str(cpus)],
                 capture_output=True, text=True, check=True,

@@ -76,18 +76,22 @@ class Catalog:
 
     # -- lineage / metrics ------------------------------------------------------
     def _record_metrics(self, name: str, wall_s: float) -> None:
-        df = self.read(name)
-        per_part = (
-            df.groupBy(F.spark_partition_id().alias("partition_id"))
-            .agg(F.count(F.lit(1)).alias("rows"))
-            .collect()
-        )
+        """Per-partition lineage rows from the parquet footers — file-level
+        row counts are exact and cost zero Spark jobs."""
+        import pyarrow.parquet as pq
+
+        parts = {}
+        for i, f in enumerate(sorted(self.path(name).rglob("*.parquet"))):
+            try:
+                parts[str(i)] = pq.ParquetFile(f).metadata.num_rows
+            except Exception:
+                parts[str(i)] = -1
         meta = {
             "table": name,
             "wall_s": round(wall_s, 3),
-            "total_rows": int(sum(r["rows"] for r in per_part)),
-            "n_partitions": len(per_part),
-            "partitions": {str(r["partition_id"]): int(r["rows"]) for r in per_part},
+            "total_rows": int(sum(v for v in parts.values() if v > 0)),
+            "n_partitions": len(parts),
+            "partitions": parts,
         }
         metrics_dir = self.root / "_metrics"
         metrics_dir.mkdir(exist_ok=True)

@@ -74,18 +74,14 @@ def run_pipeline(
         return out
 
     # explode page bodies into record lines exactly once; the seven raw
-    # tables are cheap filters of this committed table
+    # tables are lazy filters of this committed snapshot (a filter of
+    # committed parquet costs nothing to re-derive — committing each one
+    # separately only adds serial snapshot latency)
     recs = stage("records", lambda: records(extracted))
     if done[0]:
         return out
-    raw = parse_records(extracted, recs)
-    for t in RAW_TABLES:
-        # coalesce: fact fan-out shrinks per table; avoid tiny-file commits
-        stage(f"raw_{t}", lambda t=t: raw[t].coalesce(cores))
-        if done[0]:
-            return out
-
-    raws = {t: out[f"raw_{t}"] for t in RAW_TABLES}
+    raws = parse_records(extracted, recs)
+    out.update({f"raw_{t}": raws[t] for t in RAW_TABLES})
     entry = stage("entry", lambda: process.make_entry(
         raws["entry"], raws["pos"], raws["gender"], raws["pronun"]))
     if done[0]:
