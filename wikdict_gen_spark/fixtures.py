@@ -391,7 +391,8 @@ def build_bench_corpus(out_dir: str | Path, n_concepts: int, seed: int = 42,
 
     out = Path(out_dir)
     (out / "pages.parquet").mkdir(parents=True, exist_ok=True)
-    chunk = max(1, (n_concepts - 10) // workers + 1)
+    # bounded chunk size: worker memory stays flat however big the corpus is
+    chunk = min(50_000, max(1, (n_concepts - 10) // workers + 1))
     jobs = []
     lo = 10
     idx = 0

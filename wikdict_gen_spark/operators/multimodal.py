@@ -1,0 +1,148 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata.
+
+The Spark-side plumbing — schemas, partitioning, Arrow batch shapes,
+mapInPandas signatures — is real and tested; the codec calls themselves
+are stubbed behind DECODERS (the sandbox image has no PIL/ffmpeg).  A
+deployment registers real decoders:
+
+    multimodal.DECODERS["image"] = my_pil_decoder
+
+Each decoder takes bytes and returns a dict of feature columns; the
+deterministic fake used by default derives features from the byte content
+so tests can assert exact values.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("kind", StringType(), False),  # image | audio | video
+        StructField("payload", StringType()),      # binary in prod; see note
+        StructField("mime", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("duration_ms", IntegerType()),
+    ]
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("kind", StringType(), False),
+        StructField("n_bytes", LongType()),
+        StructField("content_hash", StringType()),
+        StructField("embedding", ArrayType(FloatType())),
+    ]
+)
+
+
+def _fake_decode(payload: bytes) -> dict:
+    """Deterministic stand-in for a real codec: features from the bytes.
+
+    Real deployments replace this (PIL decode + resize, torchaudio
+    spectrogram, ffmpeg frame sample, ...).  Raises on None payloads —
+    decoders must never silently null.
+    """
+    if payload is None:
+        raise ValueError("cannot decode NULL payload")
+    digest = hashlib.md5(payload).digest()
+    return {
+        "n_bytes": len(payload),
+        "content_hash": digest.hex(),
+        # 8-dim pseudo-embedding from the digest bytes, scaled to [0, 1)
+        "embedding": [b / 256.0 for b in digest[:8]],
+    }
+
+
+DECODERS: dict[str, Callable[[bytes], dict]] = {
+    "image": _fake_decode,
+    "audio": _fake_decode,
+    "video": _fake_decode,
+}
+
+
+def extract_features(media: DataFrame, batch_size: int = 256) -> DataFrame:
+    """media(media_id, kind, payload, ...) -> per-item feature rows.
+
+    mapInPandas: Arrow streams binary batches into the Python worker; the
+    decoder runs per element inside the batch (codecs are inherently
+    per-item), results come back as one Arrow batch.  Partitioning is
+    preserved — no shuffle; at scale, repartition upstream so batches of
+    large payloads fit worker memory and set
+    spark.sql.execution.arrow.maxRecordsPerBatch accordingly.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for kind, payload in zip(pdf["kind"], pdf["payload"]):
+                decoder = DECODERS.get(kind)
+                if decoder is None:
+                    raise ValueError(f"no decoder registered for kind {kind!r}")
+                raw = payload.encode() if isinstance(payload, str) else bytes(payload)
+                feats.append(decoder(raw))
+            out = pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": [f["n_bytes"] for f in feats],
+                    "content_hash": [f["content_hash"] for f in feats],
+                    "embedding": [f["embedding"] for f in feats],
+                }
+            )
+            yield out
+
+    cols = media.select("media_id", "kind", "payload")
+    return cols.mapInPandas(run, FEATURE_SCHEMA)
+
+
+def resize_stub(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Resize plumbing: passes target dims through the decode path.
+
+    The stub records the requested dims; a real decoder would return the
+    resized payload.  Kept as a column transform so Catalyst can pipeline
+    it with other projections.
+    """
+    return media.withColumn("target_width", F.lit(width)).withColumn(
+        "target_height", F.lit(height)
+    )
+
+
+def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame-sampling plan: one row per planned frame timestamp.
+
+    Pure plan arithmetic (sequence + explode, JVM-side); the actual frame
+    grab happens in extract_features once a real video decoder is
+    registered.
+    """
+    return (
+        media.where(F.col("kind") == "video")
+        .withColumn(
+            "frame_ts_ms",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.greatest(F.coalesce(F.col("duration_ms"), F.lit(0)) - 1, F.lit(0)),
+                    F.lit(every_ms),
+                )
+            ),
+        )
+        .select("media_id", "frame_ts_ms")
+    )
