@@ -67,7 +67,7 @@ def pipeline_throughput(cpus: int) -> dict:
     from wikdict_gen_spark.pipeline import run_pipeline
     from wikdict_gen_spark.session import get_spark
 
-    fused = os.environ.get("SPARK_GRAFT_BENCH_MODE", "checkpoint") == "fused"
+    fused = os.environ.get("SPARK_GRAFT_BENCH_MODE", "fused") == "fused"
     pages = bench_corpus()
     work = tempfile.mkdtemp(prefix=f"wikdict_bench_{cpus}_")
     spark = get_spark(parallelism=cpus, app_name=f"bench{cpus}",
@@ -148,6 +148,7 @@ def main() -> None:
         "sf": sf_dir,
         "pipeline_triples": thr["triples"],
         "pipeline_wall_s": thr["wall_s"],
+        "pipeline_mode": thr["mode"],
         "triples_per_sec": thr["triples_per_sec"],
     }))
 

@@ -65,9 +65,17 @@ def clean_inflection_series(s: pd.Series, lang_s: pd.Series) -> pd.Series:
     return out
 
 
+# anchored twin of _RE_SENSE_NUM: str.extract applies re.search, but the
+# scalar contract is re.match — 'x3' must raise, not silently become '03'
+_RE_SENSE_NUM_ANCHORED = re.compile(r"^(\d+)(\w)?")
+
+
 def sense_num_series(s: pd.Series) -> pd.Series:
-    """Vectorized normalize_sense_num: extract, zero-pad, re-suffix."""
-    parts = s.str.extract(tc._RE_SENSE_NUM, expand=True)
+    """Vectorized normalize_sense_num: extract, zero-pad, re-suffix.
+
+    Matches the scalar ``normalize_sense_num`` exactly, including raising on
+    inputs that don't *start* with a digit."""
+    parts = s.str.extract(_RE_SENSE_NUM_ANCHORED, expand=True)
     empty = s.isna() | (s == "")
     bad = parts[0].isna() & ~empty
     if bad.any():

@@ -89,22 +89,31 @@ def indirect(all_trans: DataFrame, backlink: DataFrame) -> DataFrame:
     no backlink evidence default to score 1.  One output row per
     (A, C, source word, target word, pivot language, source entry/sense).
     """
-    t1 = all_trans.alias("t1")
-    t2 = all_trans.select(
+    # Pre-aggregate BOTH sides to their distinct group-relevant keys before
+    # composing (the backlink treatment, applied here too — SURVEY §7.4 O5/O6).
+    # The post-join aggregation only takes max/min over columns that are
+    # functions of these keys, so deduping first is semantics-preserving and
+    # deflates the per-pivot join product quadratically: each side drops from
+    # |edges incident to the pivot| to |distinct group keys incident to it|
+    # (on real corpora the importance/duplicate-edge fan-out is the bulk).
+    t1 = all_trans.groupBy(
+        "from_lang",
+        "from_vocable",
+        "lexentry",
+        "sense_num",
+        "sense",
+        F.col("to_lang").alias("p_lang"),
+        F.col("to_vocable").alias("p_voc"),
+    ).agg(F.max("from_importance").alias("from_importance"))
+    t2 = all_trans.groupBy(
         F.col("from_lang").alias("p_lang"),
         F.col("from_vocable").alias("p_voc"),
         F.col("to_lang").alias("t2_to_lang"),
         F.col("to_vocable").alias("t2_to_vocable"),
         F.col("sense").alias("t2_sense"),
-        F.col("to_importance").alias("t2_to_importance"),
-    )
+    ).agg(F.max("to_importance").alias("t2_to_importance"))
     # the scale driver: repartition both sides on the pivot key, hot pivots split out
-    composed = skew_aware_join(
-        t1.withColumnRenamed("to_lang", "p_lang").withColumnRenamed("to_vocable", "p_voc"),
-        t2,
-        ["p_lang", "p_voc"],
-        how="inner",
-    )
+    composed = skew_aware_join(t1, t2, ["p_lang", "p_voc"], how="inner")
     bl = backlink.select(
         F.col("from_lang").alias("b_from_lang"),
         F.col("to_lang").alias("b_to_lang"),
@@ -204,6 +213,26 @@ def direct_reverse(all_trans: DataFrame) -> DataFrame:
     )
 
 
+def composable_keys(all_trans: DataFrame) -> DataFrame:
+    """The indirect key set — distinct (from, to) pairs reachable by 2-hop
+    composition — computed WITHOUT the full composition join: both sides
+    reduce to distinct pivot-incident key pairs first, so this join is over
+    two small deduped relations and never re-evaluates the scored plan."""
+    a = all_trans.select(
+        "from_lang",
+        "from_vocable",
+        F.col("to_lang").alias("p_lang"),
+        F.col("to_vocable").alias("p_voc"),
+    ).distinct()
+    b = all_trans.select(
+        F.col("from_lang").alias("p_lang"),
+        F.col("from_vocable").alias("p_voc"),
+        "to_lang",
+        "to_vocable",
+    ).distinct()
+    return a.join(b, ["p_lang", "p_voc"]).select(*_EDGE_KEYS).distinct()
+
+
 def fuse_evidence(
     all_trans: DataFrame,
     backlink: DataFrame | None = None,
@@ -216,16 +245,22 @@ def fuse_evidence(
     scores and collects sources per (langs, lexentry, sense, vocable pair,
     importances); source lists are sorted for determinism.
 
-    Pass a materialized indirect_df to avoid computing the composition
-    join twice (it feeds both the union and the anti-join probe).
+    The anti-join probe never references the scored composition subtree:
+    when indirect_df is a materialized snapshot its key projection is used
+    directly; when indirect is computed lazily here, the probe keys come
+    from ``composable_keys`` (same set, computed over deduped key pairs) so
+    the expensive composition plan is evaluated exactly once.
     """
     backlink = backlink if backlink is not None else backlink_score(all_trans)
-    if indirect_df is None:
+    lazy_indirect = indirect_df is None
+    if lazy_indirect:
         indirect_df = indirect(all_trans, backlink)
-    with_lexentry = direct(all_trans).unionByName(indirect_df)
-    reverse_only = direct_reverse(all_trans).join(
-        with_lexentry.select(*_EDGE_KEYS).distinct(), _EDGE_KEYS, "left_anti"
+    ind_keys = (
+        composable_keys(all_trans) if lazy_indirect else indirect_df.select(*_EDGE_KEYS)
     )
+    probe_keys = all_trans.select(*_EDGE_KEYS).unionByName(ind_keys).distinct()
+    with_lexentry = direct(all_trans).unionByName(indirect_df)
+    reverse_only = direct_reverse(all_trans).join(probe_keys, _EDGE_KEYS, "left_anti")
     all_inputs = with_lexentry.unionByName(reverse_only)
     return (
         all_inputs.withColumn("sense", F.nullif(F.col("sense"), F.lit("")))

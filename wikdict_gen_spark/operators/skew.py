@@ -51,15 +51,17 @@ def skew_aware_join(
     by construction: it has at most as many rows as there are hot keys
     times dim duplication).
     """
-    hot = hot_keys(fact, keys, threshold).persist()
-    try:
-        n_hot = hot.count()  # materialize once; reused by both paths
-    except Exception:
-        hot.unpersist()
-        raise
-    if n_hot == 0:
-        hot.unpersist()
+    # hot keys are bounded by |fact| / threshold rows (each needs more than
+    # `threshold` fact rows behind it), so materializing them driver-side is
+    # a small scalar-class action.  A local relation here means the tag join,
+    # the dim semi-join and the hot-path join all broadcast the same
+    # driver-held rows — no persisted RDD to leak across stages and no
+    # re-computation of the detection agg per consumer.
+    detected = hot_keys(fact, keys, threshold)
+    hot_rows = detected.collect()
+    if not hot_rows:
         return fact.join(dim, keys, how)
+    hot = fact.sparkSession.createDataFrame(hot_rows, detected.schema)
     hot_tag = F.broadcast(hot.withColumn("__hot", F.lit(True)))
     tagged = fact.join(hot_tag, keys, "left")
     fact_hot = tagged.where(F.col("__hot").isNotNull()).drop("__hot")

@@ -49,11 +49,15 @@ def run_pipeline(
     cat = Catalog(spark, workdir)
     out: dict[str, DataFrame] = {}
     done = [False]
+    # bind the mode once: stage() must not read `fused` through the closure,
+    # a later local rebind would silently flip every subsequent stage to the
+    # uncommitted path (DataFrames have no __bool__, so they are truthy)
+    fused_mode = bool(fused)
 
     def stage(name: str, build, partition_by: list[str] | None = None) -> DataFrame:
         if done[0]:
             return None  # type: ignore[return-value]
-        if fused:
+        if fused_mode:
             df = build().persist(StorageLevel.MEMORY_AND_DISK)
         else:
             df = cat.ensure(name, build, partition_by)
@@ -115,10 +119,10 @@ def run_pipeline(
     indirect_df = stage("indirect", lambda: infer.indirect(all_trans, backlink))
     if done[0]:
         return out
-    fused = stage("infer", lambda: infer.fuse_evidence(all_trans, backlink, indirect_df))
+    fused_df = stage("infer", lambda: infer.fuse_evidence(all_trans, backlink, indirect_df))
     if done[0]:
         return out
-    grouped = stage("infer_grouped", lambda: infer.group_inferred(fused))
+    grouped = stage("infer_grouped", lambda: infer.group_inferred(fused_df))
     if done[0]:
         return out
     graded = stage("translation_graded", lambda: generic.grade_translations(grouped))
@@ -127,7 +131,7 @@ def run_pipeline(
     stage("translation_grouped", lambda: generic.group_translations(graded))
     if done[0]:
         return out
-    stage("simple_translation", lambda: generic.simple_translations(fused, importance))
+    stage("simple_translation", lambda: generic.simple_translations(fused_df, importance))
     if done[0]:
         return out
 
@@ -138,7 +142,7 @@ def run_pipeline(
     if done[0]:
         return out
 
-    stage("kg_edges", lambda: materialize.translation_edges(fused).unionByName(
+    stage("kg_edges", lambda: materialize.translation_edges(fused_df).unionByName(
         materialize.structural_edges(entry, raws["pronun"], form, raws["nym"])),
         ["from_lang"])
     if done[0]:
