@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from wikdict_gen_spark.operators import dedup as D
+from wikdict_gen_spark.operators import fuzzy as FZ
 from wikdict_gen_spark.operators import infer as I
 from wikdict_gen_spark.operators import similarity as S
 from wikdict_gen_spark.operators import textstats as T
@@ -685,6 +686,48 @@ FROM b
 _ORACLE_KG["q_language_id"] = _langid_sql()
 
 
+def q_fuzzy_search(spark, sf_dir):
+    """FTS4 spellfix analog: levenshtein top-3 over first tokens of p_name,
+    queried with one-char-deleted variants (deterministic typos)."""
+    part = _t(spark, sf_dir, "part")
+    tok = F.split(F.lower(F.col("p_name")), " ").getItem(0)
+    words = part.select(tok.alias("word")).groupBy("word").agg(
+        F.count(F.lit(1)).cast("double").alias("rank")
+    )
+    queries = (
+        part.where(F.col("p_partkey") <= 40)
+        .select(F.substr(tok, F.lit(2)).alias("query"))
+        .distinct()
+    )
+    return FZ.fuzzy_search(words, queries, max_dist=2, k=3).select(
+        "query", "word", "dist", "rank", "rn"
+    )
+
+
+_ORACLE_KG["q_fuzzy_search"] = """
+WITH words AS (
+    SELECT string_split(lower(p_name), ' ')[1] AS word,
+           CAST(count(*) AS DOUBLE) AS rank
+    FROM part GROUP BY 1
+),
+queries AS (
+    SELECT DISTINCT substr(string_split(lower(p_name), ' ')[1], 2) AS query
+    FROM part WHERE p_partkey <= 40
+),
+scored AS (
+    SELECT q.query, w.word, levenshtein(w.word, q.query) AS dist, w.rank
+    FROM words w, queries q
+    WHERE abs(length(w.word) - length(q.query)) <= 2
+      AND levenshtein(w.word, q.query) <= 2
+)
+SELECT query, word, dist, rank, rn FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY query ORDER BY dist, rank DESC, word) AS rn
+    FROM scored
+) WHERE rn <= 3
+"""
+
+
 def q_ann_topk(spark, sf_dir):
     """Brute-force cosine top-5 (rank output only — float-order safe)."""
     emb = _t(spark, sf_dir, "embeddings")
@@ -747,6 +790,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_fingerprint": q_fingerprint,
         "q_language_id": q_language_id,
         "q_ann_topk": q_ann_topk,
+        "q_fuzzy_search": q_fuzzy_search,
     }
 
 

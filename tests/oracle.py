@@ -45,14 +45,27 @@ class Oracle:
         self.entry = _load(fixture_dir, "plan_entry")
         self.translation = _load(fixture_dir, "plan_translation")
         self.nym = _load(fixture_dir, "plan_nym")
+        self.pos = _load(fixture_dir, "plan_pos")
         self._compute()
 
     def _compute(self) -> None:
         lex2 = {e["lexentry"]: e for e in self.entry}
+        # chosen pos per lexentry = lexical minimum (choose_pos semantics)
+        lex_pos: dict[str, str] = {}
+        for p in self.pos:
+            cur = lex_pos.get(p["lexentry"])
+            if cur is None or p["part_of_speech"] < cur:
+                lex_pos[p["lexentry"]] = p["part_of_speech"]
+
+        def eligible(lexentry: str) -> bool:
+            """F6 pos gate: abbreviation/letter entries don't score importance."""
+            return lex_pos.get(lexentry) not in C.EXCLUDED_POS or lex_pos.get(lexentry) is None
 
         # --- importance (node salience) -----------------------------------
         trans_targets = defaultdict(set)
         for t in self.translation:
+            if not eligible(t["lexentry"]):
+                continue
             e = lex2[t["lexentry"]]
             trans_targets[(e["lang"], e["vocable"])].add((t["to_lang"], t["trans"]))
         syn_refs = defaultdict(set)
@@ -62,6 +75,8 @@ class Oracle:
         self.importance: dict[tuple[str, str], float] = {}
         by_lang_scores = defaultdict(list)
         for e in self.entry:
+            if not eligible(e["lexentry"]):
+                continue  # vocable scores only through its eligible lexentries
             key = (e["lang"], e["vocable"])
             if key in self.importance:
                 continue
@@ -100,6 +115,8 @@ class Oracle:
         groups = defaultdict(list)
         for t in kept:
             e = lex2[t["lexentry"]]
+            if (t["from_lang"], e["vocable"]) not in self.rel_importance:
+                continue  # inner from-importance join: excluded vocables drop out
             sense = t["sense"]
             if sense is not None and is_dummy_sense(sense, t["from_lang"]):
                 sense = None

@@ -62,6 +62,21 @@ def test_inverted_token_index(spark, grouped_df, form_df):
     assert rows[("haus", "Haus")] == pytest.approx(1.0 * (0.9 + 1.0))
 
 
+def test_inverted_token_index_en_porter(spark):
+    """FTS1: English indexes stem with Porter ('running' matches 'run'),
+    other languages index raw lowercase tokens."""
+    rows = [("en", "de", "e/run__v__1", "running shoes", "Laufschuh", 100.0, 0.5)]
+    g = spark.createDataFrame(
+        rows,
+        "from_lang string, to_lang string, lexentry string, written_rep string, "
+        "trans_list string, score double, importance double",
+    )
+    en_tokens = {r["token"] for r in display.inverted_token_index(g, from_lang="en").collect()}
+    assert en_tokens == {"run", "shoe"}
+    de_tokens = {r["token"] for r in display.inverted_token_index(g, from_lang="de").collect()}
+    assert de_tokens == {"running", "shoes"}
+
+
 def test_idiom_keys(spark, grouped_df):
     out = display.idiom_keys(grouped_df).collect()
     assert len(out) == 1
@@ -74,6 +89,31 @@ def test_top_simple_translations(spark):
     out = export.top_simple_translations(st, min_score=100.0, k=10).collect()
     assert len(out) == 10
     assert out[0]["max_score"] == 149.0
+
+
+def test_adaptive_min_score(spark):
+    """A14 wiring: a small dictionary lowers the gate to 0 (nothing above
+    the fixed 100 gate would survive), a large one keeps/clamps it."""
+    small = [("de", "en", "w%02d" % i, "t%d" % i, float(i)) for i in range(50)]
+    st = spark.createDataFrame(
+        small,
+        "from_lang string, to_lang string, written_rep string, trans_list string, max_score double",
+    )
+    thr = export.adaptive_min_score(st).collect()
+    assert len(thr) == 1 and thr[0]["min_score"] == 0.0  # (0 - 1000)/45000 clamps to 0
+    # default (adaptive) export keeps low-score rows for the small dictionary
+    out = export.top_simple_translations(st, k=10).collect()
+    assert len(out) == 10 and out[0]["max_score"] == 49.0
+    # fixed gate still filters
+    assert export.top_simple_translations(st, min_score=100.0, k=10).collect() == []
+    # large dictionary: 46000 good rows -> round((46000-1000)/45000*100) = 100
+    big = spark.range(46000).select(
+        F.lit("de").alias("from_lang"), F.lit("sv").alias("to_lang"),
+        F.concat(F.lit("w"), F.col("id")).alias("written_rep"),
+        F.lit("t").alias("trans_list"), F.lit(150.0).alias("max_score"),
+    )
+    thr2 = export.adaptive_min_score(big).collect()
+    assert thr2[0]["min_score"] == 100.0
 
 
 def test_strip_control_chars(spark):

@@ -11,10 +11,10 @@ from wikdict_gen_spark.operators import multimodal
 @pytest.fixture(scope="module")
 def media(spark):
     rows = [
-        (1, "image", "img-bytes-1", "image/png", 64, 64, None),
-        (2, "image", "img-bytes-2", "image/jpeg", 128, 96, None),
-        (3, "audio", "audio-bytes", "audio/wav", None, None, 2500),
-        (4, "video", "video-bytes", "video/mp4", 640, 480, 3500),
+        (1, "image", b"img-bytes-1", "image/png", 64, 64, None),
+        (2, "image", b"img-bytes-2", "image/jpeg", 128, 96, None),
+        (3, "audio", b"audio-bytes", "audio/wav", None, None, 2500),
+        (4, "video", b"video-bytes", "video/mp4", 640, 480, 3500),
     ]
     return spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
 
@@ -33,7 +33,7 @@ def test_extract_features_deterministic(spark, media):
 
 def test_unknown_kind_raises(spark):
     bad = spark.createDataFrame(
-        [(9, "hologram", "x", None, None, None, None)], multimodal.MEDIA_SCHEMA
+        [(9, "hologram", b"x", None, None, None, None)], multimodal.MEDIA_SCHEMA
     )
     with pytest.raises(Exception, match="no decoder registered"):
         multimodal.extract_features(bad).collect()

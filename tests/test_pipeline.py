@@ -184,6 +184,24 @@ class TestPlantedCases:
             assert mapping[f"deu/dealias{i}"] == expect_root
         assert mapping["deu/dehaus"] == expect_root
 
+    def test_pos_crossed_synonym_not_linked(self, built):
+        """F6: a verb synonym naming the noun hub's surface must not merge."""
+        mapping = {r["node"]: r["canonical"] for r in built["canonical"].collect()}
+        # dexpos produced no alias edge at all, so it's absent or self-rooted
+        assert mapping.get("deu/dexpos", "deu/dexpos") == "deu/dexpos"
+        edges = built["alias_edges"].collect()
+        assert not any("dexpos" in (r["u"], r["v"]) for r in edges)
+
+    def test_abbreviation_excluded_from_importance(self, built):
+        """F6: abbreviation lexentries score no importance; their
+        translations drop at the inner from-importance join."""
+        imp = built["importance"].where(F.col("vocable") == "deu/deabk").collect()
+        assert imp == []
+        trans = built["all_trans"].where(
+            F.col("lexentry") == "deu/deabk__abbreviation__1"
+        ).collect()
+        assert trans == []
+
 
 class TestDeterminismAndResume:
     def test_rerun_identical(self, spark, fixture_dir, built, tmp_path_factory):

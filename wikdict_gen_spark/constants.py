@@ -21,6 +21,11 @@ GAP_STEP = 20.0               # agg_by_score: accepted-item score-floor incremen
 TOP_K_NORM = 10000            # rel_score denominator = mean of top-k scores
 MISSING_IMPORTANCE = 0.001    # floor when the link target has no importance row
 
+# part-of-speech classes excluded from importance scoring
+# (reference: FILTER (?pos NOT IN (lexinfo:abbreviation, lexinfo:letter))
+#  in importance_query, /root/reference/src/sparql/queries.py:183)
+EXCLUDED_POS = ("abbreviation", "letter")
+
 # skew handling
 SALT_BUCKETS = 16             # salt fan-out for hot-key joins
 HOT_KEY_THRESHOLD = 10000     # rows per key above which a key counts as hot

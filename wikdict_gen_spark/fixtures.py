@@ -278,6 +278,16 @@ def _plant_special_cases(plan: _Plan, rng: random.Random) -> None:
               {"pos": "noun", "number": "Plural", "case": "Nominative"})
     _add_form(plan, "de", "dehaus", de_haus, "dehauses", {})
 
+    # -- F6 pos gates
+    # abbreviation entries score no importance; their translations drop at
+    # the inner from-importance join (SPARQL pos NOT IN filter analog)
+    de_abk = _add_entry(plan, rng, "de", "deabk", "abbreviation", 1)
+    _add_trans(plan, rng, "de", "deabk", de_abk, "1", "shortened house", "sense", "en", "enhouse")
+    # pos-crossed synonym: verb source naming the noun hub's surface form
+    # must NOT create an alias edge (nym FILTER ?f_pos = ?t_pos analog)
+    de_xpos = _add_entry(plan, rng, "de", "dexpos", "verb", 1)
+    _add_nym(plan, "de", "dexpos", de_xpos, "synonym", hub_rep)
+
 
 def _plant_background(plan: _Plan, rng: random.Random, n_concepts: int) -> None:
     """Organic seeded translation graph over concepts 10..n."""

@@ -90,19 +90,30 @@ def alias_edges(entry: DataFrame, raw_nym: DataFrame) -> DataFrame:
 
     The nym target is a surface form; it links to the target vocable through
     the same written_rep_guess dictionary used by entity linking.
+
+    F6 pos gate: a nym target page can host many lexical entries, so the
+    link is restricted to targets sharing the source entry's part of speech
+    (reference nym_query FILTER (?f_pos = ?t_pos),
+    /root/reference/src/sparql/queries.py:205).  Both sides must have a pos
+    — the reference query binds ?f_pos/?t_pos as required patterns, so
+    pos-less entries produce no nym rows at all.  Without this, pos-crossed
+    synonym targets over-link alias edges and over-merge components.
     """
-    lex2voc = entry.select("lexentry", "vocable")
+    lex2voc = entry.select("lexentry", "vocable", F.col("part_of_speech").alias("f_pos"))
     target_voc = entry.select(
         F.col("lang").alias("t_lang"),
         F.col("written_rep").alias("t_rep"),
         F.col("vocable").alias("t_vocable"),
+        F.col("part_of_speech").alias("t_pos"),
     ).distinct()
     syn = raw_nym.where(F.col("nym") == "synonym")
     return (
         syn.join(lex2voc, syn["f"] == lex2voc["lexentry"])
         .join(
             target_voc,
-            (F.col("lang") == F.col("t_lang")) & (syn["t_rep"] == target_voc["t_rep"]),
+            (F.col("lang") == F.col("t_lang"))
+            & (syn["t_rep"] == target_voc["t_rep"])
+            & (F.col("f_pos") == F.col("t_pos")),
         )
         .select(F.col("vocable").alias("u"), F.col("t_vocable").alias("v"))
         .where(F.col("u") != F.col("v"))

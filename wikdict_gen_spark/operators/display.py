@@ -11,6 +11,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+# per-language FTS tokenizer choice, mirroring the reference's
+# TOKENIZER = defaultdict(lambda: "unicode61", {"en": "porter"})
+# (/root/reference/src/wdweb.py:7): English stems with Porter, everything
+# else tokenizes plain (lower + whitespace here).
+STEMMED_LANGS = frozenset({"en"})
+
 
 def ranked_display_forms(form: DataFrame) -> DataFrame:
     """W5: per lexentry, ' / '-joined display forms ordered by display rank.
@@ -61,11 +67,21 @@ def singular_plural_pairs(form: DataFrame) -> DataFrame:
     return sing.join(plur, "lexentry")
 
 
-def inverted_token_index(translation_grouped: DataFrame, form: DataFrame | None = None) -> DataFrame:
+def inverted_token_index(
+    translation_grouped: DataFrame,
+    form: DataFrame | None = None,
+    from_lang: str | None = None,
+) -> DataFrame:
     """FTS analog: token -> matching written_rep postings with importance rank.
 
     Search rows come from headwords and (optionally) inflected forms with a
     0.5 form-importance discount, mirroring the reference's two FTS tables.
+
+    from_lang selects the tokenizer, like the reference's per-lang-pair
+    index build: languages in STEMMED_LANGS run tokens through the Porter
+    stemmer (Arrow-batched pandas UDF), others index raw lowercase tokens.
+    A query-side consumer must stem its query tokens with the same function
+    — exactly the FTS4 contract.
     """
     head = translation_grouped.select(
         F.col("written_rep"),
@@ -96,6 +112,10 @@ def inverted_token_index(translation_grouped: DataFrame, form: DataFrame | None 
         "form_importance",
         "importance",
     ).where(F.col("token") != "")
+    if from_lang in STEMMED_LANGS:
+        from wikdict_gen_spark.functions.spark_udfs import porter_stem_udf
+
+        tokens = tokens.withColumn("token", porter_stem_udf(F.col("token")))
     return tokens.groupBy("token", "written_rep").agg(
         F.max(F.col("form_importance") * (F.col("importance") + 1.0)).alias("rank")
     )

@@ -12,11 +12,50 @@ def strip_control_chars(col):
     return F.regexp_replace(col, r"[\x00-\x09\x0b-\x1f]", "")
 
 
-def top_simple_translations(simple_translation: DataFrame, min_score: float = 100.0,
+def adaptive_min_score(simple_translation: DataFrame,
+                       good_score: float = 100.0,
+                       base_count: int = 1000,
+                       expected_good: int = 45000) -> DataFrame:
+    """A14 adaptive export threshold (one row per lang pair).
+
+    min_score = clamp(round((count(max_score >= good_score) - base_count)
+                            / expected_good * 100), 0, 100)
+    — a large dictionary keeps the full score gate, a small one lowers it
+    so the export isn't empty (reference /root/reference/src/tei.py:208-238,
+    computed there per from-lang database; per lang pair here).
+    """
+    return simple_translation.groupBy("from_lang", "to_lang").agg(
+        F.greatest(
+            F.lit(0),
+            F.least(
+                F.lit(100),
+                F.round(
+                    (F.count(F.when(F.col("max_score") >= good_score, 1)) - base_count)
+                    / F.lit(float(expected_good)) * 100
+                ).cast("int"),
+            ),
+        ).cast("double").alias("min_score")
+    )
+
+
+def top_simple_translations(simple_translation: DataFrame,
+                            min_score: float | None = None,
                             k: int = 100) -> DataFrame:
-    """Anki-style export: top-k vocables by score among good translations."""
+    """Anki-style export: top-k vocables by score among good translations.
+
+    min_score=None (the default) applies the adaptive per-lang-pair
+    threshold — the reference's behavior for every TEI export; pass a
+    number to pin a fixed gate.
+    """
+    if min_score is None:
+        thresholds = F.broadcast(adaptive_min_score(simple_translation))
+        gated = simple_translation.join(thresholds, ["from_lang", "to_lang"]).where(
+            F.col("max_score") >= F.col("min_score")
+        )
+    else:
+        gated = simple_translation.where(F.col("max_score") >= F.lit(float(min_score)))
     return (
-        simple_translation.where(F.col("max_score") >= min_score)
+        gated
         .orderBy(F.col("max_score").desc(), F.col("written_rep"))
         .limit(k)
         .select(

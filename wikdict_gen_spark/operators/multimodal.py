@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
+    BinaryType,
     FloatType,
     IntegerType,
     LongType,
@@ -34,7 +35,7 @@ MEDIA_SCHEMA = StructType(
     [
         StructField("media_id", LongType(), False),
         StructField("kind", StringType(), False),  # image | audio | video
-        StructField("payload", StringType()),      # binary in prod; see note
+        StructField("payload", BinaryType()),      # opaque encoded media bytes
         StructField("mime", StringType()),
         StructField("width", IntegerType()),
         StructField("height", IntegerType()),
@@ -96,8 +97,9 @@ def extract_features(media: DataFrame, batch_size: int = 256) -> DataFrame:
                 decoder = DECODERS.get(kind)
                 if decoder is None:
                     raise ValueError(f"no decoder registered for kind {kind!r}")
-                raw = payload.encode() if isinstance(payload, str) else bytes(payload)
-                feats.append(decoder(raw))
+                # schema is BinaryType: Arrow hands decoders real bytes;
+                # anything else is schema drift and must fail loudly
+                feats.append(decoder(None if payload is None else bytes(payload)))
             out = pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],

@@ -138,8 +138,21 @@ def make_importance(entry: DataFrame, cleaned_translation: DataFrame, raw_nym: D
 
     Output: (lang, vocable, written_rep_guess, score, rel_score), one row
     per vocable; rel_score = score / mean(top-10k scores of that language).
+
+    F6 pos gate: lexentries whose part of speech is in EXCLUDED_POS
+    (abbreviation, letter) are excluded from scoring — vocables with no
+    remaining lexentry get no importance row at all, which (via the inner
+    from-importance join downstream) drops their translations, matching
+    the reference (importance_query FILTER ?pos NOT IN ...,
+    /root/reference/src/sparql/queries.py:183; inner JOIN rel_importance,
+    /root/reference/src/process.py:251).  NULL pos stays eligible —
+    missing metadata shouldn't silently delete data.
     """
-    lex2voc = entry.select("lexentry", "vocable", "lang")
+    eligible = entry.where(
+        F.col("part_of_speech").isNull()
+        | ~F.col("part_of_speech").isin(*C.EXCLUDED_POS)
+    )
+    lex2voc = eligible.select("lexentry", "vocable", "lang")
     trans_counts = (
         cleaned_translation.join(lex2voc, "lexentry")
         .groupBy("lang", "vocable")
@@ -153,7 +166,7 @@ def make_importance(entry: DataFrame, cleaned_translation: DataFrame, raw_nym: D
         .groupBy(F.col("lang").alias("syn_lang"), F.col("t_rep").alias("guess"))
         .agg(F.countDistinct("f").alias("n_syn"))
     )
-    vocables = entry.select("lang", "vocable").distinct().withColumn(
+    vocables = eligible.select("lang", "vocable").distinct().withColumn(
         "written_rep_guess", surface_guess_col(F.col("vocable"))
     )
     imp = (
