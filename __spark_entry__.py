@@ -22,8 +22,10 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from wikdict_gen_spark.operators import dedup as D
+from wikdict_gen_spark.operators import display as DS
 from wikdict_gen_spark.operators import fuzzy as FZ
 from wikdict_gen_spark.operators import infer as I
+from wikdict_gen_spark.operators import process as P
 from wikdict_gen_spark.operators import similarity as S
 from wikdict_gen_spark.operators import textstats as T
 
@@ -757,6 +759,262 @@ SELECT query_id, vec_id, rank FROM (
 """
 
 
+# --- serving/display + process operator queries (A10/A16/J11/A15/FTS1-3) --------
+#
+# Each derivation below is a SQL snippet shared verbatim between the Spark
+# side (spark.sql over registered views) and the DuckDB oracle CTE, so the
+# only thing under test is the engine operator itself.
+
+_DUP_TRANS_SQL = """
+    SELECT
+        'l' || (l_suppkey % 3) AS from_lang,
+        'l' || (l_partkey % 3) AS to_lang,
+        '0' || (l_linenumber % 3) AS sense_num,
+        's' || (l_orderkey % 5) AS sense,
+        'w' || (l_partkey % 40) AS written_rep,
+        'w' || (l_orderkey % 40) AS trans,
+        'L' || (l_suppkey % 200) AS lexentry,
+        (l_suppkey % 100) / CAST(128 AS DOUBLE) AS from_importance,
+        (l_partkey % 100) / CAST(128 AS DOUBLE) AS to_importance
+    FROM lineitem
+"""
+
+
+def q_dup_collapse(spark, sf_dir):
+    """A10: duplicate-lexentry collapse (min lexentry + max importances +
+    sorted lexentry inventory) via process.collapse_duplicate_lexentries."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    t = spark.sql(_DUP_TRANS_SQL)
+    out = P.collapse_duplicate_lexentries(
+        t, ["from_lang", "to_lang", "sense_num", "sense", "written_rep", "trans"]
+    )
+    return out.select(
+        "from_lang", "to_lang", "sense_num", "sense", "written_rep", "trans",
+        "lexentry", "from_importance", "to_importance",
+        F.array_join("all_lexentries", ",").alias("all_lexentries"),
+    )
+
+
+_ORACLE_KG["q_dup_collapse"] = f"""
+WITH t AS ({_DUP_TRANS_SQL})
+SELECT from_lang, to_lang, sense_num, sense, written_rep, trans,
+    min(lexentry) AS lexentry,
+    max(from_importance) AS from_importance,
+    max(to_importance) AS to_importance,
+    string_agg(lexentry, ',' ORDER BY lexentry) AS all_lexentries
+FROM t GROUP BY 1, 2, 3, 4, 5, 6
+"""
+
+
+_SAL_ENTRY_SQL = """
+    SELECT DISTINCT
+        'L' || p_partkey AS lexentry,
+        'xxx/w' || (p_partkey % 40) AS vocable,
+        'l' || (p_partkey % 3) AS lang,
+        CASE p_partkey % 7 WHEN 0 THEN 'abbreviation' WHEN 1 THEN 'letter'
+             WHEN 2 THEN NULL ELSE 'noun' END AS part_of_speech
+    FROM part
+"""
+
+_SAL_TRANS_SQL = """
+    SELECT 'L' || l_partkey AS lexentry,
+           'l' || (l_suppkey % 3) AS to_lang,
+           'w' || (l_orderkey % 40) AS trans
+    FROM lineitem
+"""
+
+_SAL_NYM_SQL = """
+    SELECT CASE WHEN o_orderkey % 2 = 0 THEN 'synonym' ELSE 'antonym' END AS nym,
+           'l' || (o_custkey % 3) AS lang,
+           'w' || (o_orderkey % 40) AS t_rep,
+           'L' || (o_custkey % 50) AS f
+    FROM orders
+"""
+
+
+def q_salience(spark, sf_dir):
+    """A16/F6: sqrt+sqrt node salience with the excluded-pos gate, via
+    process.make_importance (rel_score normalization is covered separately
+    by q_topk_mean_norm; score itself is sqrt(int)+sqrt(int) — exact in
+    both engines)."""
+    for name in ("part", "lineitem", "orders"):
+        _t(spark, sf_dir, name).createOrReplaceTempView(name)
+    imp = P.make_importance(
+        spark.sql(_SAL_ENTRY_SQL), spark.sql(_SAL_TRANS_SQL), spark.sql(_SAL_NYM_SQL)
+    )
+    return imp.select(
+        "lang", "vocable", "written_rep_guess", F.round("score", 9).alias("score")
+    )
+
+
+_ORACLE_KG["q_salience"] = f"""
+WITH entry AS ({_SAL_ENTRY_SQL}),
+trans AS ({_SAL_TRANS_SQL}),
+nym AS ({_SAL_NYM_SQL}),
+eligible AS (
+    SELECT * FROM entry
+    WHERE part_of_speech IS NULL OR part_of_speech NOT IN ('abbreviation', 'letter')
+),
+trans_counts AS (
+    SELECT e.lang, e.vocable, count(DISTINCT t.to_lang || '|' || t.trans) AS n_trans
+    FROM trans t JOIN eligible e USING (lexentry)
+    GROUP BY 1, 2
+),
+syn_counts AS (
+    SELECT lang, t_rep AS guess, count(DISTINCT f) AS n_syn
+    FROM nym WHERE nym = 'synonym' GROUP BY 1, 2
+),
+vocables AS (
+    SELECT DISTINCT lang, vocable,
+           replace(substr(vocable, 5), '_', ' ') AS written_rep_guess
+    FROM eligible
+)
+SELECT v.lang, v.vocable, v.written_rep_guess,
+    round(sqrt(coalesce(tc.n_trans, 0)) + sqrt(coalesce(sc.n_syn, 0)), 9) AS score
+FROM vocables v
+LEFT JOIN trans_counts tc ON tc.lang = v.lang AND tc.vocable = v.vocable
+LEFT JOIN syn_counts sc ON sc.lang = v.lang AND sc.guess = v.written_rep_guess
+"""
+
+
+_FORM_SQL = """
+    SELECT 'L' || (l_partkey % 200) AS lexentry,
+           'f' || (l_orderkey % 30) AS other_written,
+           CASE WHEN l_linenumber % 4 = 0 THEN NULL ELSE l_linenumber % 4 END AS rank
+    FROM lineitem
+"""
+
+
+def q_display_forms(spark, sf_dir):
+    """J11/W5: rank-ordered ' / '-joined display forms via
+    display.ranked_display_forms."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return DS.ranked_display_forms(spark.sql(_FORM_SQL))
+
+
+_ORACLE_KG["q_display_forms"] = f"""
+WITH form AS ({_FORM_SQL}),
+best AS (
+    SELECT lexentry, other_written, min(rank) AS rank FROM form
+    WHERE rank IS NOT NULL AND other_written IS NOT NULL GROUP BY 1, 2
+),
+per_rank AS (
+    SELECT lexentry, rank,
+           string_agg(other_written, ' / ' ORDER BY other_written) AS forms
+    FROM best GROUP BY 1, 2
+)
+SELECT lexentry, string_agg(forms, ', ' ORDER BY rank) AS display_forms
+FROM per_rank GROUP BY 1
+"""
+
+
+_NOUN_FORM_SQL = """
+    SELECT 'L' || l_orderkey AS lexentry,
+           'f' || (l_partkey % 20) AS other_written,
+           CASE WHEN l_suppkey % 5 = 0 THEN 'verb' ELSE 'noun' END AS pos,
+           CASE WHEN l_linenumber % 4 = 0 THEN NULL ELSE l_linenumber % 3 END AS rank
+    FROM lineitem
+"""
+
+
+def q_singular_plural(spark, sf_dir):
+    """A15: HAVING count(DISTINCT)=1 uniqueness gates on each side of the
+    singular x plural pairing, via display.singular_plural_pairs."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return DS.singular_plural_pairs(spark.sql(_NOUN_FORM_SQL))
+
+
+_ORACLE_KG["q_singular_plural"] = f"""
+WITH form AS ({_NOUN_FORM_SQL}),
+nouns AS (SELECT * FROM form WHERE pos = 'noun' AND rank IS NOT NULL),
+sing AS (
+    SELECT lexentry, min(other_written) AS singular FROM nouns WHERE rank = 1
+    GROUP BY 1 HAVING count(DISTINCT other_written) = 1
+),
+plur AS (
+    SELECT lexentry, min(other_written) AS plural FROM nouns WHERE rank = 2
+    GROUP BY 1 HAVING count(DISTINCT other_written) = 1
+)
+SELECT s.lexentry, s.singular, p.plural FROM sing s JOIN plur p USING (lexentry)
+"""
+
+
+_TG_SQL = """
+    SELECT 'L' || p_partkey AS lexentry,
+           lower(p_name) AS written_rep,
+           (p_partkey % 100) / CAST(128 AS DOUBLE) AS importance
+    FROM part
+"""
+
+_TOKFORM_SQL = """
+    SELECT DISTINCT 'L' || l_partkey AS lexentry,
+           'form' || (l_orderkey % 50) AS other_written
+    FROM lineitem
+"""
+
+
+def q_token_index(spark, sf_dir):
+    """FTS1/FTS2: inverted token index with headword + inflected-form rows
+    (0.5 form-importance discount) via display.inverted_token_index.
+    Uses the unstemmed (unicode61-analog) tokenizer path; the Porter path
+    is golden-tested in tests/test_display_export.py."""
+    for name in ("part", "lineitem"):
+        _t(spark, sf_dir, name).createOrReplaceTempView(name)
+    idx = DS.inverted_token_index(
+        spark.sql(_TG_SQL), form=spark.sql(_TOKFORM_SQL), from_lang="de"
+    )
+    return idx.select("token", "written_rep", "rank")
+
+
+_ORACLE_KG["q_token_index"] = f"""
+WITH tg AS ({_TG_SQL}),
+form AS ({_TOKFORM_SQL}),
+head AS (
+    SELECT written_rep, written_rep AS match_source,
+           CAST(1.0 AS DOUBLE) AS fi, importance
+    FROM tg
+),
+frows AS (
+    SELECT t.written_rep, f.other_written AS match_source,
+           CAST(0.5 AS DOUBLE) AS fi, t.importance
+    FROM form f
+    JOIN (SELECT DISTINCT lexentry, written_rep, importance FROM tg) t USING (lexentry)
+    WHERE f.other_written IS NOT NULL
+),
+rows_all AS (SELECT * FROM head UNION ALL SELECT * FROM frows),
+toks AS (
+    SELECT unnest(string_split(lower(match_source), ' ')) AS token,
+           written_rep, fi, importance
+    FROM rows_all
+)
+SELECT token, written_rep, max(fi * (importance + 1.0)) AS rank
+FROM toks WHERE token != '' GROUP BY 1, 2
+"""
+
+
+_IDIOM_TG_SQL = """
+    SELECT lower(p_name) AS written_rep, lower(p_type) AS trans_list FROM part
+"""
+
+
+def q_idiom_keys(spark, sf_dir):
+    """FTS3: multi-word headword index via display.idiom_keys."""
+    _t(spark, sf_dir, "part").createOrReplaceTempView("part")
+    return DS.idiom_keys(spark.sql(_IDIOM_TG_SQL))
+
+
+_ORACLE_KG["q_idiom_keys"] = f"""
+WITH tg AS ({_IDIOM_TG_SQL}),
+d AS (
+    SELECT DISTINCT written_rep, trans_list FROM tg
+    WHERE contains(written_rep, ' ')
+)
+SELECT written_rep,
+       string_agg(trans_list, ' | ' ORDER BY trans_list) AS translations
+FROM d GROUP BY 1
+"""
+
+
 # --- driver contract -----------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -791,6 +1049,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_language_id": q_language_id,
         "q_ann_topk": q_ann_topk,
         "q_fuzzy_search": q_fuzzy_search,
+        "q_dup_collapse": q_dup_collapse,
+        "q_salience": q_salience,
+        "q_display_forms": q_display_forms,
+        "q_singular_plural": q_singular_plural,
+        "q_token_index": q_token_index,
+        "q_idiom_keys": q_idiom_keys,
     }
 
 

@@ -78,6 +78,41 @@ class TestSimilarity:
         for q in range(3):
             assert top1[q] == q  # identical vector always shares the bucket
 
+    def test_lsh_multiprobe_recall_monotone(self, spark):
+        """Margin-ordered multi-probe: more probes -> recall of the exact
+        top-1 never drops, and probe-1 results are a subset of probe-4."""
+        import random
+
+        rng = random.Random(11)
+        rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(200)]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        # query with vectors NOT in the table (perturbed copies) so the
+        # nearest neighbor can land across a bucket boundary
+        qrows = [
+            (i, [x + rng.uniform(-0.05, 0.05) for x in rows[i][1]])
+            for i in range(30)
+        ]
+        queries = spark.createDataFrame(qrows, "query_id long, embedding array<double>")
+        exact = {
+            r["query_id"]: r["vec_id"]
+            for r in similarity.brute_force_topk(emb, queries, k=1)
+            .where(F.col("rank") == 1).collect()
+        }
+
+        def run(n_probes):
+            out = similarity.lsh_topk(
+                emb, queries, dim=8, k=1, n_planes=6, n_probes=n_probes
+            ).where(F.col("rank") == 1).collect()
+            return {r["query_id"]: r["vec_id"] for r in out}
+
+        r1, r4 = run(1), run(4)
+        recall1 = sum(r1.get(q) == v for q, v in exact.items())
+        recall4 = sum(r4.get(q) == v for q, v in exact.items())
+        assert recall4 >= recall1
+        assert recall4 > 0
+        # every query answered at probe 1 is still answered at probe 4
+        assert set(r1) <= set(r4)
+
 
 class TestTextStats:
     def test_token_count(self, docs):

@@ -272,8 +272,21 @@ def make_translation(translation_base: DataFrame, importance: DataFrame) -> Data
     t = t.withColumn(
         "to_importance", F.coalesce(F.col("to_rel_score"), F.lit(C.MISSING_IMPORTANCE))
     ).drop("to_rel_score")
-    # duplicate-lexentry collapse (transitive/intransitive variants, A10)
-    return t.groupBy("from_lang", "to_lang", "sense_num", "sense", "written_rep", "trans").agg(
+    return collapse_duplicate_lexentries(
+        t, ["from_lang", "to_lang", "sense_num", "sense", "written_rep", "trans"]
+    )
+
+
+def collapse_duplicate_lexentries(t: DataFrame, keys: list[str]) -> DataFrame:
+    """A10 duplicate-lexentry collapse (transitive/intransitive variants).
+
+    One row per translation key: the canonical lexentry is the lexical
+    minimum, importances take the max over the collapsed rows, and the
+    full sorted lexentry inventory is kept as an audit column (the
+    reference keeps min(lexentry) + an implicit group,
+    /root/reference/src/process.py:251-259).
+    """
+    return t.groupBy(*keys).agg(
         F.min("lexentry").alias("lexentry"),
         F.max("from_importance").alias("from_importance"),
         F.max("to_importance").alias("to_importance"),

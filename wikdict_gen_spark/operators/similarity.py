@@ -100,25 +100,68 @@ def lsh_topk(
     dim: int,
     k: int = 5,
     n_planes: int = 8,
+    n_probes: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
 ) -> DataFrame:
-    """Approximate top-k: candidates share the random-projection bucket.
+    """Approximate top-k: candidates share a random-projection bucket.
 
-    Recall is tunable via n_planes (fewer planes -> bigger buckets).  The
-    per-bucket join shuffles on the signature; the final window is per
-    query over bucket-mates only.
+    Recall is tunable on two axes: n_planes (fewer planes -> bigger
+    buckets) and n_probes (margin-ordered multi-probe, Lv et al. VLDB'07:
+    each query also probes the buckets reached by flipping the signature
+    bits whose hyperplane margin |q·h| is smallest — the directions the
+    query is most likely to have landed on the wrong side of).  Probing
+    multiplies only the tiny broadcast query side; the embedding table
+    still carries exactly one signature per row, so the big-side shuffle
+    cost is unchanged at any probe count.
     """
     planes = [_hyperplane(p, dim) for p in range(n_planes)]
     e = embeddings.withColumn("__sig", rp_signature(F.col(vec_col), planes))
-    q = F.broadcast(
-        queries.select(
-            F.col(query_id_col),
-            F.col(vec_col).alias("__qvec"),
-        ).withColumn("__sig", rp_signature(F.col("__qvec"), planes))
+
+    qvec = F.col("__qvec").cast("array<double>")
+    dots = F.array(
+        *[_dot(qvec, F.array(*[F.lit(x) for x in p])) for p in planes]
     )
-    scored = e.join(q, "__sig").select(
+    bits = F.transform(
+        F.col("__dots"), lambda d: F.when(d >= 0, F.lit("1")).otherwise(F.lit("0"))
+    )
+    # plane indices ordered by |margin| ascending (deterministic tiebreak
+    # on the index itself)
+    order = F.transform(
+        F.array_sort(
+            F.zip_with(
+                F.col("__dots"),
+                F.sequence(F.lit(0), F.lit(n_planes - 1)),
+                lambda d, i: F.struct(F.abs(d).alias("m"), i.alias("i")),
+            )
+        ),
+        lambda s: s.i,
+    )
+
+    def flip(bits_col, idx):
+        return F.transform(
+            bits_col,
+            lambda x, i: F.when(
+                i == idx, F.when(x == "1", F.lit("0")).otherwise(F.lit("1"))
+            ).otherwise(x),
+        )
+
+    probes = F.array(
+        F.array_join(bits, ""),
+        *[
+            F.array_join(flip(bits, F.element_at(order, j + 1)), "")
+            for j in range(min(n_probes - 1, n_planes))
+        ],
+    )
+    q = F.broadcast(
+        queries.select(F.col(query_id_col), F.col(vec_col).alias("__qvec"))
+        .withColumn("__dots", dots)
+        .withColumn("__sig", F.explode(probes))
+        .drop("__dots")
+    )
+    candidates = e.join(q, "__sig").dropDuplicates([query_id_col, id_col])
+    scored = candidates.select(
         query_id_col,
         id_col,
         cosine_expr(

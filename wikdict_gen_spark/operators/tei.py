@@ -1,0 +1,470 @@
+"""S9: TEI/XML dictionary sink + sitemap sink.
+
+Re-expression of the reference's TEI export (/root/reference/src/tei.py)
+and sitemap export (/root/reference/src/sitemap.py) as a two-phase plan:
+
+1. relational assembly (JVM-side, fully distributed): adaptive score gate,
+   entry-dimension join, per-headword grouping with deterministically
+   ordered sense rows, and pre-aggregated inflected-form lists — all the
+   shuffles happen here, partitioned by (from_lang, to_lang, written_rep);
+2. rendering (Arrow-batched pandas UDF): per-entry TEI XML string.  The
+   reference renders imperatively (ElementTree + itertools.groupby over
+   consecutive equal trans_lists, /root/reference/src/tei.py:295-356);
+   that consecutive-group + escape logic is the one genuinely non-
+   relational step, so it runs as a vectorized batch over the already-
+   nested rows — never per-row Python in the shuffle path.
+
+A dictionary document is one file per language pair by contract (the
+reference writes `{from}-{to}.tei`), so the final concatenation is
+per-pair serial by nature; pairs parallelize across the cluster exactly
+like the reference's per-pair process fan-out.
+"""
+
+from __future__ import annotations
+
+from xml.sax.saxutils import escape
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from wikdict_gen_spark.operators.export import adaptive_min_score, strip_control_chars
+
+# /root/reference/src/tei.py:54-71 — pos -> (TEI pos text, ontology anchor)
+POS_MAPPING = {
+    "adjective": ("adj", "FreeDict_ontology.xml#f_pos_adj"),
+    "adverb": ("adv", "FreeDict_ontology.xml#f_pos_adv"),
+    "noun": ("n", "FreeDict_ontology.xml#f_pos_noun"),
+    "properNoun": ("pn", "FreeDict_ontology.xml#f_pos_noun"),
+    "verb": ("v", "FreeDict_ontology.xml#f_pos_verb"),
+}
+
+# /root/reference/src/tei.py:73-78
+GENDER_MAPPING = {
+    "feminine": "fem",
+    "masculine": "masc",
+    "neuter": "neut",
+    "commongender": "ut",
+}
+
+SENSE_SEP = " | "
+
+
+# --------------------------------------------------------------------------
+# phase 1: relational assembly
+# --------------------------------------------------------------------------
+
+def tei_entry_rows(
+    translation_grouped: DataFrame,
+    entry: DataFrame,
+    form: DataFrame | None = None,
+    min_score: float | None = None,
+) -> DataFrame:
+    """One row per TEI entry with nested, deterministically ordered senses.
+
+    Mirrors the reference's driving query + groupby
+    (/root/reference/src/tei.py:229-284): translations gated on the
+    adaptive min score, joined to the entry dimension, grouped by
+    (written_rep, part_of_speech, gender, pronun_list) with rows ordered
+    by min_sense_num (NULLS FIRST, then sense_list/trans_list as the
+    deterministic tiebreak sqlite leaves unspecified).  Inflected forms
+    come from the *last* ordered row's lexentry — a reference quirk kept
+    for parity (tei.py:271-282 reads `t["lexentry"]` after the loop).
+    """
+    t = translation_grouped
+    if min_score is None:
+        simple_shape = t.select(
+            "from_lang", "to_lang", F.col("score").alias("max_score")
+        )
+        gate = F.broadcast(adaptive_min_score(simple_shape))
+        t = t.join(gate, ["from_lang", "to_lang"]).where(
+            F.col("score") >= F.col("min_score")
+        ).drop("min_score")
+    else:
+        t = t.where(F.col("score") >= F.lit(float(min_score)))
+
+    dim = entry.select(
+        "lexentry",
+        "part_of_speech",
+        "gender",
+        # null pronun_list -> null string -> no <pron> elements
+        F.array_join(F.col("pronun_list"), SENSE_SEP).alias("pronun_str"),
+    )
+    joined = t.join(dim, "lexentry")
+
+    # deterministic in-group order: min_sense_num NULLS FIRST, then lists
+    sort_key = F.struct(
+        F.col("min_sense_num").isNotNull().cast("int").alias("k0"),
+        F.col("min_sense_num").alias("k1"),
+        F.coalesce(F.col("sense_list"), F.lit("")).alias("k2"),
+        F.coalesce(F.col("trans_list"), F.lit("")).alias("k3"),
+    )
+    grouped = joined.groupBy(
+        "from_lang", "to_lang", "written_rep", "part_of_speech", "gender", "pronun_str"
+    ).agg(
+        F.transform(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        sort_key.alias("k"),
+                        F.col("sense_list").alias("sense_list"),
+                        F.col("trans_list").alias("trans_list"),
+                        F.col("lexentry").alias("lexentry"),
+                    )
+                )
+            ),
+            lambda x: F.struct(
+                x.sense_list.alias("sense_list"), x.trans_list.alias("trans_list")
+            ),
+        ).alias("senses"),
+        F.max_by(
+            F.col("lexentry"),
+            sort_key,
+        ).alias("form_lexentry"),
+    )
+
+    if form is not None:
+        # min(rank) per (lexentry, other_written), ordered rank NULLS FIRST
+        # (sqlite ORDER BY rank sorts NULL first, tei.py:274-278)
+        best = (
+            form.where(F.col("other_written").isNotNull())
+            .groupBy("lexentry", "other_written")
+            .agg(F.min("rank").alias("rank"))
+        )
+        fkey = F.struct(
+            F.col("rank").isNotNull().cast("int").alias("k0"),
+            F.col("rank").alias("k1"),
+            F.col("other_written").alias("k2"),
+        )
+        forms_agg = best.groupBy("lexentry").agg(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(
+                            fkey.alias("k"),
+                            F.col("other_written").alias("other_written"),
+                            F.col("rank").alias("rank"),
+                        )
+                    )
+                ),
+                lambda x: F.struct(
+                    x.other_written.alias("other_written"), x.rank.alias("rank")
+                ),
+            ).alias("inflected_forms")
+        )
+        grouped = grouped.join(
+            forms_agg, grouped["form_lexentry"] == forms_agg["lexentry"], "left"
+        ).drop(forms_agg["lexentry"])
+    else:
+        grouped = grouped.withColumn(
+            "inflected_forms",
+            F.lit(None).cast("array<struct<other_written:string,rank:int>>"),
+        )
+    return grouped.drop("form_lexentry")
+
+
+# --------------------------------------------------------------------------
+# phase 2: rendering (Arrow-batched)
+# --------------------------------------------------------------------------
+
+def _split_list(s: str | None) -> list[str]:
+    # /root/reference/src/tei.py:162-165
+    if s is None or s == "":
+        return []
+    return s.split(SENSE_SEP)
+
+
+def _render_one(
+    written_rep: str,
+    part_of_speech: str | None,
+    gender: str | None,
+    pronun_str: str | None,
+    senses: list,
+    inflected_forms: list | None,
+    to_lang: str,
+) -> str:
+    """Single TEI <entry> element, matching single_tei_entry + add_senses
+    (/root/reference/src/tei.py:295-356) with 2-space indentation from
+    `indent(entry, level=2)` (tei.py:25-39,371)."""
+    is_suffix = part_of_speech == "suffix" or (
+        part_of_speech in ("", None) and written_rep.startswith("-")
+    )
+    orth = written_rep[1:] if is_suffix else written_rep
+    pos_text = (
+        "suffix"
+        if is_suffix
+        else POS_MAPPING.get(part_of_speech, (part_of_speech, None))[0]
+    )
+    pad2, pad3, pad4, pad5, pad6 = (
+        "\n" + "  " * n for n in (3, 4, 5, 6, 7)
+    )
+    out: list[str] = ["<entry>"]
+
+    # form block: orth, pronunciations, inflected forms
+    out.append(pad3 + "<form>")
+    out.append(pad4 + f"<orth>{escape(orth)}</orth>")
+    for p in _split_list(pronun_str):
+        out.append(pad4 + f"<pron>{escape(p)}</pron>")
+    if inflected_forms is not None and len(inflected_forms) > 0:
+        out.append(pad4 + '<form type="infl">')
+        for fr in inflected_forms:
+            attrs = ' wikdict:show="true"' if fr["rank"] is not None else ""
+            out.append(
+                pad5 + f"<orth{attrs}>{escape(fr['other_written'])}</orth>"
+            )
+        out.append(pad4 + "</form>")
+    out.append(pad3 + "</form>")
+
+    # gramGrp
+    gram: list[str] = []
+    if pos_text:
+        gram.append(pad4 + f"<pos>{escape(pos_text)}</pos>")
+    if gender:
+        gram.append(pad4 + f"<gen>{GENDER_MAPPING[gender.lower()]}</gen>")
+    if gram:
+        out.append(pad3 + "<gramGrp>" + "".join(gram) + pad3 + "</gramGrp>")
+
+    # senses: expand sense_list per row, then group CONSECUTIVE equal
+    # trans_lists (itertools.groupby semantics, tei.py:296)
+    expanded: list[tuple[str | None, str | None]] = []  # (gloss, trans_list)
+    for row in senses:
+        sense_items = _split_list(row["sense_list"]) or [None]
+        for g in sense_items:
+            expanded.append((g, row["trans_list"]))
+    i = 0
+    while i < len(expanded):
+        j = i
+        while j < len(expanded) and expanded[j][1] == expanded[i][1]:
+            j += 1
+        group = expanded[i:j]
+        trans_list = _split_list(group[0][1])
+        out.append(pad3 + "<sense>")
+        out.append(pad4 + f'<cit type="trans" xml:lang="{to_lang}">')
+        for trans in trans_list:
+            if is_suffix:
+                trans = trans[1:]
+            out.append(pad5 + f"<quote>{escape(trans)}</quote>")
+        out.append(pad4 + "</cit>")
+        for gloss, _ in group:
+            if gloss:
+                out.append(pad4 + "<sense>")
+                out.append(pad5 + f"<def>{escape(gloss)}</def>")
+                out.append(pad4 + "</sense>")
+        out.append(pad3 + "</sense>")
+        i = j
+    out.append(pad2 + "</entry>")
+    return "".join(out)
+
+
+def tei_entry_xml(entry_rows: DataFrame) -> DataFrame:
+    """(from_lang, to_lang, written_rep, entry_xml) — distributed render."""
+
+    @pandas_udf("string")
+    def render(
+        written_rep: pd.Series,
+        part_of_speech: pd.Series,
+        gender: pd.Series,
+        pronun_str: pd.Series,
+        senses: pd.Series,
+        inflected_forms: pd.Series,
+        to_lang: pd.Series,
+    ) -> pd.Series:
+        vals = [
+            _render_one(w, p, g, pr, s, infl, tl)
+            for w, p, g, pr, s, infl, tl in zip(
+                written_rep, part_of_speech, gender, pronun_str,
+                senses, inflected_forms, to_lang,
+            )
+        ]
+        return pd.Series(vals, dtype="object")
+
+    rendered = entry_rows.withColumn(
+        "entry_xml",
+        strip_control_chars(
+            render(
+                "written_rep", "part_of_speech", "gender", "pronun_str",
+                "senses", "inflected_forms", "to_lang",
+            )
+        ),
+    )
+    return rendered.select("from_lang", "to_lang", "written_rep", "entry_xml")
+
+
+# --------------------------------------------------------------------------
+# document assembly
+# --------------------------------------------------------------------------
+
+# /root/reference/src/tei.py:81-159, constants inlined; {entries} is filled
+# from the sorted distributed body.
+TEI_HEADER = """<?xml version="1.0" encoding="UTF-8"?>
+<?xml-stylesheet type="text/css" href="freedict-dictionary.css"?>
+<?oxygen RNGSchema="freedict-P5.rng" type="xml"?>
+<!DOCTYPE TEI SYSTEM "freedict-P5.dtd">
+<TEI xmlns="http://www.tei-c.org/ns/1.0" xmlns:wikdict="http://www.wikdict.com/ns/1.0">
+  <teiHeader xml:lang="en">
+    <fileDesc>
+      <titleStmt>
+        <title>{from_name}-{to_name} FreeDict+WikDict dictionary</title>
+      </titleStmt>
+      <editionStmt><edition>{version}</edition></editionStmt>
+      <extent>{headwords} headwords</extent>
+      <publicationStmt>
+        <availability status="free">
+          <p>Licensed under the <ref target="https://creativecommons.org/licenses/by-sa/3.0/legalcode">Creative Commons Attribution-ShareAlike 3.0 Unported</ref> license</p>
+        </availability>
+        <date>{today}</date>
+      </publicationStmt>
+      <notesStmt>
+        <note type="status">{status}</note>
+      </notesStmt>
+    </fileDesc>
+  </teiHeader>
+  <text>
+    <body xml:lang="{from_lang}">
+"""
+
+TEI_FOOTER = """
+    </body>
+  </text>
+</TEI>
+"""
+
+
+def dict_status(headwords: int) -> str:
+    # /root/reference/src/tei.py:393-398
+    if headwords >= 10000:
+        return "big enough to be useful"
+    if headwords < 1000:
+        return "too small"
+    return "unknown"
+
+
+def write_tei(
+    entry_xml: DataFrame,
+    out_dir: str,
+    today: str,
+    language_names: dict[str, str] | None = None,
+) -> dict[str, int]:
+    """Write one `{from}-{to}.tei` per language pair; returns headword counts.
+
+    The per-pair body is sorted by written_rep (the reference's ORDER BY)
+    and concatenated; pairs run independently.  Returns {pair: headwords}.
+    """
+    from pathlib import Path
+
+    names = language_names or {}
+    counts: dict[str, int] = {}
+    pairs = [
+        (r["from_lang"], r["to_lang"])
+        for r in entry_xml.select("from_lang", "to_lang").distinct().collect()
+    ]
+    Path(out_dir).mkdir(parents=True, exist_ok=True)
+    for from_lang, to_lang in sorted(pairs):
+        rows = (
+            entry_xml.where(
+                (F.col("from_lang") == from_lang) & (F.col("to_lang") == to_lang)
+            )
+            .orderBy("written_rep")
+            .select("entry_xml")
+            .collect()
+        )
+        headwords = len(rows)
+        counts[f"{from_lang}-{to_lang}"] = headwords
+        if headwords == 0:
+            continue
+        header = TEI_HEADER.format(
+            from_name=names.get(from_lang, from_lang),
+            to_name=names.get(to_lang, to_lang),
+            version=today.replace("-", "."),
+            headwords=headwords,
+            today=today,
+            status=dict_status(headwords),
+            from_lang=from_lang,
+        )
+        body = "".join(r["entry_xml"] for r in rows)
+        sub = Path(out_dir) / ("small" if headwords < 5000 else "")
+        sub.mkdir(parents=True, exist_ok=True)
+        (sub / f"{from_lang}-{to_lang}.tei").write_text(
+            header + body + TEI_FOOTER, encoding="utf-8"
+        )
+    return counts
+
+
+# --------------------------------------------------------------------------
+# sitemap sink (/root/reference/src/sitemap.py) — fully JVM-side
+# --------------------------------------------------------------------------
+
+SITEMAP_TMPL = """<?xml version="1.0" encoding="UTF-8"?>
+<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+{}
+</urlset>"""
+
+SITEMAP_INDEX_TMPL = """<?xml version="1.0" encoding="UTF-8"?>
+<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+{}
+</sitemapindex>"""
+
+
+def sitemap_xml(simple_translation: DataFrame, k: int = 100,
+                min_importance: float = 4.0) -> DataFrame:
+    """One row per lang pair: the rendered sitemap XML body.
+
+    Top-k headwords per pair with rel_importance > floor ordered by
+    importance*score desc (ref sitemap.py:26), URL pair is the SORTED lang
+    pair (sitemap.py:28).  Rendering is pure column concat — no UDF.
+    """
+    from pyspark.sql import Window
+
+    ranked = (
+        simple_translation.where(F.col("rel_importance") > min_importance)
+        .withColumn("__key", F.col("rel_importance") * F.col("max_score"))
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy("from_lang", "to_lang").orderBy(
+                    F.col("__key").desc(), F.col("written_rep")
+                )
+            ),
+        )
+        .where(F.col("__rn") <= k)
+    )
+    sorted_pair = F.concat_ws(
+        "-",
+        F.least(F.col("from_lang"), F.col("to_lang")),
+        F.greatest(F.col("from_lang"), F.col("to_lang")),
+    )
+    url = F.concat(
+        F.lit("  <url>\n    <loc>https://www.wikdict.com/"),
+        sorted_pair,
+        F.lit("/"),
+        strip_control_chars(F.col("written_rep")),
+        F.lit("</loc>\n    <changefreq>monthly</changefreq>\n  </url>"),
+    )
+    per_pair = ranked.groupBy("from_lang", "to_lang").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct(F.col("__rn").alias("rn"), url.alias("u")))
+                ),
+                lambda x: x.u,
+            ),
+            "\n",
+        ).alias("urls")
+    )
+    head, tail = SITEMAP_TMPL.split("{}")
+    return per_pair.select(
+        "from_lang",
+        "to_lang",
+        F.concat(F.lit(head), F.col("urls"), F.lit(tail)).alias("sitemap_xml"),
+    )
+
+
+def sitemap_index_xml(pairs: list[str], today: str) -> str:
+    """Driver-side index document over the per-pair sitemap files."""
+    items = "\n".join(
+        f"  <sitemap>\n    <loc>https://www.wikdict.com/static/sitemap/{p}.xml</loc>\n"
+        f"    <lastmod>{today}</lastmod>\n  </sitemap>"
+        for p in pairs
+    )
+    return SITEMAP_INDEX_TMPL.format(items)

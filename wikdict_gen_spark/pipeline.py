@@ -37,15 +37,23 @@ def run_pipeline(
 
     stop_after: name of the last stage to commit (for resume testing).
 
-    fused=True replaces per-stage snapshot commits with lazy in-memory
-    caching (MEMORY_AND_DISK): shared stages materialize once on first use
-    and the only durable writes are the terminal actions.  This is the
-    max-throughput shape (what a cluster job with only terminal Iceberg
-    writes looks like); the default checkpointed mode is the resumable
-    production shape.
-    """
-    from pyspark import StorageLevel
+    fused=True replaces per-stage snapshot commits with lazy local
+    checkpoints: shared stages materialize once on first use and the only
+    durable writes are the terminal actions.  This is the max-throughput
+    shape (what a cluster job with only terminal Iceberg writes looks
+    like); the default checkpointed mode is the resumable production shape.
 
+    Why localCheckpoint and not persist(): logical plans are trees, not
+    DAGs — every re-reference of a cached stage clones its entire analyzed
+    subtree, so 20 composed stages blow the plan up exponentially (measured
+    >200k plan nodes at the fuse stage; driver analysis time then dwarfs
+    execution).  localCheckpoint truncates the *logical* lineage to a
+    LogicalRDD while the underlying RDD graph still shares each stage's
+    computation; eager=False keeps stages lazy until first use.  The cost
+    is fused-mode fault-tolerance (lost executors can't recompute a local
+    checkpoint) — acceptable by construction: fused mode IS the
+    no-resume shape, checkpointed mode is the durable one.
+    """
     cat = Catalog(spark, workdir)
     out: dict[str, DataFrame] = {}
     done = [False]
@@ -58,7 +66,7 @@ def run_pipeline(
         if done[0]:
             return None  # type: ignore[return-value]
         if fused_mode:
-            df = build().persist(StorageLevel.MEMORY_AND_DISK)
+            df = build().localCheckpoint(eager=False)
         else:
             df = cat.ensure(name, build, partition_by)
         out[name] = df
