@@ -1015,6 +1015,44 @@ FROM d GROUP BY 1
 """
 
 
+_SENSE_BASE_SQL = """
+    SELECT 'L' || (p_partkey % 50) AS lexentry,
+           'xx' AS to_lang,
+           't' || p_partkey AS trans,
+           '0' || (p_partkey % 4) AS sense_num,
+           lower(p_name) AS sense
+    FROM part WHERE p_partkey % 3 != 0
+    UNION ALL
+    SELECT 'L' || (p_partkey % 50) AS lexentry,
+           'xx' AS to_lang,
+           'g' || p_partkey AS trans,
+           NULL AS sense_num,
+           lower(p_name) AS sense
+    FROM part WHERE p_partkey % 3 = 0
+"""
+
+
+def q_sense_match(spark, sf_dir):
+    """S4 generalized sense attribution: IDF-weighted token-Jaccard match of
+    gloss-only rows against the lexentry's sense inventory
+    (sense_match.match_glosses).
+
+    No SQL oracle on purpose: the score is a ratio of ln-based IDF sums,
+    and cross-engine float-summation order makes the last ulp (and thus
+    near-tie ranking) unstable between Spark and DuckDB — the driver
+    records the rows-only check; full semantics are golden-tested in
+    tests/test_sense_match.py.
+    """
+    from wikdict_gen_spark.operators import sense_match as SM
+
+    _t(spark, sf_dir, "part").createOrReplaceTempView("part")
+    base = spark.sql(_SENSE_BASE_SQL)
+    return SM.match_glosses(base).select(
+        "lexentry", "to_lang", "trans", "gloss", "matched_sense_num",
+        F.round("match_score", 3).alias("match_score"),
+    )
+
+
 # --- driver contract -----------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -1055,6 +1093,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_singular_plural": q_singular_plural,
         "q_token_index": q_token_index,
         "q_idiom_keys": q_idiom_keys,
+        "q_sense_match": q_sense_match,
     }
 
 

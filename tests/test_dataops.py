@@ -39,6 +39,17 @@ class TestDedup:
         assert (1, 3) in pair_set or (2, 3) in pair_set
         assert (4, 5) not in pair_set
 
+    def test_minhash_compact_same_collisions(self, docs):
+        """compact=True (xxhash64 longs, the production wire shape) feeds the
+        same banding contract and still collides normalized dups."""
+        sh = dedup.shingles(docs, k=2)
+        sig = dedup.minhash_signatures(sh, num_hashes=16, compact=True)
+        assert dict(sig.dtypes)["minhash"] == "array<bigint>"
+        pairs = dedup.lsh_candidate_pairs(sig, num_hashes=16, bands=8).collect()
+        pair_set = {(r["id_a"], r["id_b"]) for r in pairs}
+        assert (1, 2) in pair_set
+        assert (4, 5) not in pair_set
+
     def test_ngram_jaccard(self, docs, spark):
         pairs = spark.createDataFrame([(1, 2), (1, 5)], "id_a long, id_b long")
         out = {(r["id_a"], r["id_b"]): r["jaccard"] for r in dedup.ngram_jaccard(docs, pairs).collect()}

@@ -49,19 +49,32 @@ def shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
 
 
 def minhash_signatures(sh: DataFrame, id_col: str = "doc_id",
-                       num_hashes: int = 16) -> DataFrame:
-    """MinHash signature per doc: for seed i, min over md5(i || shingle).
+                       num_hashes: int = 16, compact: bool = False) -> DataFrame:
+    """MinHash signature per doc: for seed i, min over hash(i || shingle).
 
-    Seeded rehash of each shingle; hex-string min == numeric min.  Output:
-    (id, minhash array of length num_hashes).
+    compact=False (default): md5 hex strings — engine-portable (hex-string
+    min == numeric min), the oracle-comparison shape.
+    compact=True: xxhash64 longs — 8 bytes per hash instead of a 32-char
+    string, ~4x lighter on the shuffle wire; the production shape at
+    cluster scale.  Same algorithm, same downstream banding contract.
+    Output: (id, minhash array of length num_hashes).
     """
-    hashed = sh.select(
-        F.col(id_col),
-        *[
-            F.md5(F.concat(F.lit(f"seed{i}:"), F.col("shingle"))).alias(f"h{i}")
-            for i in range(num_hashes)
-        ],
-    )
+    if compact:
+        hashed = sh.select(
+            F.col(id_col),
+            *[
+                F.xxhash64(F.lit(f"seed{i}:"), F.col("shingle")).alias(f"h{i}")
+                for i in range(num_hashes)
+            ],
+        )
+    else:
+        hashed = sh.select(
+            F.col(id_col),
+            *[
+                F.md5(F.concat(F.lit(f"seed{i}:"), F.col("shingle"))).alias(f"h{i}")
+                for i in range(num_hashes)
+            ],
+        )
     return hashed.groupBy(id_col).agg(
         F.array(*[F.min(f"h{i}") for i in range(num_hashes)]).alias("minhash")
     )
@@ -86,7 +99,14 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
                         F.lit(b).alias("band"),
                         F.md5(
                             F.array_join(
-                                F.slice(F.col("minhash"), b * rows_per_band + 1, rows_per_band),
+                                # cast covers both signature shapes: md5 hex
+                                # strings and compact xxhash64 longs
+                                F.transform(
+                                    F.slice(
+                                        F.col("minhash"), b * rows_per_band + 1, rows_per_band
+                                    ),
+                                    lambda x: x.cast("string"),
+                                ),
                                 "|",
                             )
                         ).alias("sig"),

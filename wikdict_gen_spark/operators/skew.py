@@ -52,16 +52,16 @@ def skew_aware_join(
     times dim duplication).
     """
     # hot keys are bounded by |fact| / threshold rows (each needs more than
-    # `threshold` fact rows behind it), so materializing them driver-side is
-    # a small scalar-class action.  A local relation here means the tag join,
-    # the dim semi-join and the hot-path join all broadcast the same
-    # driver-held rows — no persisted RDD to leak across stages and no
-    # re-computation of the detection agg per consumer.
-    detected = hot_keys(fact, keys, threshold)
-    hot_rows = detected.collect()
-    if not hot_rows:
-        return fact.join(dim, keys, how)
-    hot = fact.sparkSession.createDataFrame(hot_rows, detected.schema)
+    # `threshold` fact rows behind it), so the detection agg is a small
+    # broadcast-class relation.  It stays IN the plan (no driver collect):
+    # a collect would stall the driver for a full scan before the join plan
+    # even exists, serializing in front of every downstream job.  As a
+    # broadcast-exchange subtree the detection overlaps with the rest of
+    # the job, and its three references below canonicalize to the same
+    # exchange (ReusedExchange), so the scan still runs once.  Callers pass
+    # checkpointed/committed inputs, so even a missed reuse is a cheap
+    # cached re-scan, never a lineage recompute.
+    hot = hot_keys(fact, keys, threshold)
     hot_tag = F.broadcast(hot.withColumn("__hot", F.lit(True)))
     tagged = fact.join(hot_tag, keys, "left")
     fact_hot = tagged.where(F.col("__hot").isNotNull()).drop("__hot")

@@ -19,11 +19,69 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from pyspark import StorageLevel
+
 from wikdict_gen_spark.catalog import Catalog
+
+# memory+disk, serialized (PySpark exposes no _SER constant)
+_CKPT_LEVEL = StorageLevel(True, True, False, False, 1)
 from wikdict_gen_spark.operators import canonicalize, generic, infer, materialize, process
 from wikdict_gen_spark.operators.extract import extract_text, parse_records, records
 
 RAW_TABLES = ["entry", "pos", "gender", "pronun", "form", "translation", "nym"]
+
+# Stages referenced by 2+ downstream consumers.  In fused mode these are
+# the ONLY lineage-cut points: a re-referenced stage must be checkpointed
+# (its analyzed subtree would otherwise be cloned into every consumer —
+# exponential plan blowup — and its computation repeated), while a
+# linear-chain stage is cheaper left lazy so Catalyst fuses it into its
+# consumer's job (fewer serial job barriers, wider codegen spans).  A
+# stage consumed once from the returned dict AND once downstream (e.g.
+# infer_grouped if a caller materializes it separately) recomputes from
+# the nearest upstream checkpoint — bounded by construction.
+FANOUT_STAGES = frozenset({
+    "extracted",          # records + parse_records
+    "records",            # seven raw-table filters
+    "entry",              # importance, translation_base, alias_edges, kg_*
+    "translation_clean",  # importance, translation_base
+    "importance",         # translation_base, translation, simple_translation, kg_nodes
+    "translation_base",   # hot-key detection scan + the link join itself
+    "all_trans",          # backlink, indirect, direct/reverse/probe in fuse
+    "backlink",           # indirect, fuse_evidence
+    "indirect",           # fuse union + anti-join key projection
+    "infer",              # infer_grouped, simple_translation, kg_edges
+})
+
+
+class LazyStages(dict):
+    """Stage dict whose entries can resolve on first access.
+
+    Used by fused mode to keep the CC side thread running underneath the
+    terminal kg_edges write: 'canonical'/'kg_nodes' join the thread only
+    when a caller actually reads them.
+    """
+
+    def __init__(self) -> None:
+        super().__init__()
+        self._thunks: dict[str, object] = {}
+
+    def lazy(self, name: str, thunk) -> None:
+        self._thunks[name] = thunk
+
+    def _resolve(self, key: str) -> None:
+        if key not in self.keys() and key in self._thunks:
+            self[key] = self._thunks.pop(key)()
+
+    def __getitem__(self, key):
+        self._resolve(key)
+        return super().__getitem__(key)
+
+    def get(self, key, default=None):
+        self._resolve(key)
+        return super().get(key, default)
+
+    def __contains__(self, key) -> bool:
+        return super().__contains__(key) or key in self._thunks
 
 
 def run_pipeline(
@@ -55,7 +113,7 @@ def run_pipeline(
     no-resume shape, checkpointed mode is the durable one.
     """
     cat = Catalog(spark, workdir)
-    out: dict[str, DataFrame] = {}
+    out: LazyStages = LazyStages()
     done = [False]
     # bind the mode once: stage() must not read `fused` through the closure,
     # a later local rebind would silently flip every subsequent stage to the
@@ -66,7 +124,12 @@ def run_pipeline(
         if done[0]:
             return None  # type: ignore[return-value]
         if fused_mode:
-            df = build().localCheckpoint(eager=False)
+            df = build()
+            if name in FANOUT_STAGES:
+                # serialized blocks: checkpointed stages are re-scanned by
+                # several consumers, and deserialized row objects make those
+                # scans GC-bound (measured ~6% pipeline wall at 4 cores)
+                df = df.localCheckpoint(eager=False, storageLevel=_CKPT_LEVEL)
         else:
             df = cat.ensure(name, build, partition_by)
         out[name] = df
@@ -98,6 +161,27 @@ def run_pipeline(
         raws["entry"], raws["pos"], raws["gender"], raws["pronun"]))
     if done[0]:
         return out
+
+    # Fused mode: start the canonicalization loop (alias edges + iterative
+    # CC — an eager driver-side loop only kg_nodes consumes) on a side
+    # thread as soon as its inputs exist.  Its small jobs interleave with
+    # the translation chain's materialization on idle task slots instead
+    # of serializing in front of the terminal writes.  The shared prefix
+    # (records/entry checkpoints) is forced first so the two threads never
+    # race to compute the same un-materialized checkpoint twice.
+    cc_thread = None
+    cc_box: dict[str, DataFrame] = {}
+    if fused_mode and stop_after is None:
+        import threading
+
+        entry.count()
+        aliases_early = canonicalize.alias_edges(entry, raws["nym"])
+
+        def _cc() -> None:
+            cc_box["df"] = canonicalize.connected_components(aliases_early)
+
+        cc_thread = threading.Thread(target=_cc, name="cc-loop", daemon=True)
+        cc_thread.start()
     form = stage("form", lambda: process.make_form(raws["form"]))
     if done[0]:
         return out
@@ -141,6 +225,26 @@ def run_pipeline(
         return out
     stage("simple_translation", lambda: generic.simple_translations(fused_df, importance))
     if done[0]:
+        return out
+
+    if cc_thread is not None:
+        # resolve-on-read: the CC thread keeps running underneath the
+        # terminal kg_edges job; callers that read canonical/kg_nodes pay
+        # the join only then (by which time CC has normally finished)
+        out["alias_edges"] = aliases_early
+
+        def _canonical() -> DataFrame:
+            cc_thread.join()
+            return cc_box["df"]
+
+        out.lazy("canonical", _canonical)
+        out.lazy(
+            "kg_nodes",
+            lambda: materialize.build_nodes(entry, importance, out["canonical"]),
+        )
+        stage("kg_edges", lambda: materialize.translation_edges(fused_df).unionByName(
+            materialize.structural_edges(entry, raws["pronun"], form, raws["nym"])),
+            ["from_lang"])
         return out
 
     aliases = stage("alias_edges", lambda: canonicalize.alias_edges(entry, raws["nym"]))

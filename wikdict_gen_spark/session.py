@@ -9,6 +9,7 @@ from spark-submit.
 from __future__ import annotations
 
 import os
+import tempfile
 
 from pyspark.sql import SparkSession
 
@@ -17,6 +18,9 @@ def get_spark(
     parallelism: int | None = None,
     app_name: str = "wikdict_gen_spark",
     shuffle_partitions: int | None = None,
+    executors: int | None = None,
+    executor_cores: int = 2,
+    executor_mem_mb: int = 20480,
 ) -> SparkSession:
     """Build (or fetch) a SparkSession.
 
@@ -24,8 +28,14 @@ def get_spark(
     shuffle_partitions: defaults to the core count — at sandbox data sizes
     more partitions only add scheduling overhead; at cluster scale this is
     overridden to O(total cores).
+    executors: when set, use `local-cluster[N,C,M]` instead of `local[k]` —
+    N separate executor JVMs with their own heaps and GCs, the faithful
+    sandbox emulation of an N-executor cluster (used by the scaling bench;
+    on a real cluster spark-submit provides the master instead).
     """
     cpus = parallelism or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if executors is not None:
+        cpus = executors * executor_cores
     shuffle = shuffle_partitions or cpus
     # shuffle spill to RAM-backed storage when available: the sandbox has
     # 125G RAM and small shuffles; on a cluster spark.local.dir comes from
@@ -33,13 +43,35 @@ def get_spark(
     local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
     if local_dir is None and os.path.isdir("/dev/shm"):
         local_dir = "/dev/shm/spark-local"
+    master = (
+        f"local-cluster[{executors},{executor_cores},{executor_mem_mb}]"
+        if executors is not None
+        else f"local[{cpus}]"
+    )
     builder = (
-        SparkSession.builder.master(f"local[{cpus}]")
+        SparkSession.builder.master(master)
         .appName(app_name)
+        # local-cluster's [N,C,M] memory number only sizes the WORKER's
+        # allocation budget; the executor JVM heap itself comes from
+        # spark.executor.memory (default 1g — far too small for serialized
+        # checkpoint blocks).  Harmless under local[k] (driver == executor).
+        .config("spark.executor.memory", f"{executor_mem_mb - 2048}m")
         # AQE: runtime partition coalescing + skew-join splitting
         .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config(
+            "spark.sql.adaptive.coalescePartitions.enabled",
+            os.environ.get("SPARK_GRAFT_AQE_COALESCE", "true"),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # sandbox intermediates are hundreds of MB: the 64m default lets AQE
+        # coalesce exchanges to a handful of partitions, and that coarse
+        # layout freezes into the stage checkpoints, capping downstream
+        # parallelism (observed: 4-task aggregation stages straggling).
+        # At cluster scale override via env to 64m+.
+        .config(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            os.environ.get("SPARK_GRAFT_ADVISORY_PARTITION", "8m"),
+        )
         .config("spark.sql.shuffle.partitions", str(shuffle))
         .config("spark.default.parallelism", str(cpus))
         # Arrow is the transport for every pandas UDF in the engine
@@ -49,6 +81,14 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         # long pipelines: reclaim broadcast/shuffle state promptly
         .config("spark.cleaner.periodicGC.interval", "2min")
+        # single-host sandbox: a "remote" block fetch between executor
+        # processes is a loopback copy, so the 3s default process-local
+        # wait mostly stalls (measured ~10s/stage on stages reading another
+        # executor's checkpoint blocks), while 0 overshoots into pure
+        # remote-fetch churn; 500ms measured best.  On a real cluster with
+        # rack topology, override via env.
+        .config("spark.locality.wait",
+                os.environ.get("SPARK_GRAFT_LOCALITY_WAIT", "500ms"))
         # many-stage pipelines generate hundreds of codegen classes; the
         # default 240m code cache fills and the JIT stops compiling, which
         # silently triples stage times late in a run
@@ -68,7 +108,26 @@ def get_spark(
     )
     if local_dir:
         builder = builder.config("spark.local.dir", local_dir)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    if executors is not None:
+        # executor JVMs spawn their own python workers, which do not
+        # inherit the driver's sys.path — ship the package the same way
+        # spark-submit --py-files does (north_rule: run via --py-files)
+        spark.sparkContext.addPyFile(_package_zip())
+    return spark
+
+
+def _package_zip() -> str:
+    """Zip wikdict_gen_spark for addPyFile (the --py-files payload)."""
+    import zipfile
+    from pathlib import Path
+
+    pkg_dir = Path(__file__).resolve().parent
+    out = Path(tempfile.gettempdir()) / "wikdict_gen_spark_pyfiles.zip"
+    with zipfile.ZipFile(out, "w") as z:
+        for p in sorted(pkg_dir.rglob("*.py")):
+            z.write(p, f"wikdict_gen_spark/{p.relative_to(pkg_dir)}")
+    return str(out)
 
 
 def stop_spark() -> None:
