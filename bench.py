@@ -38,6 +38,8 @@ HEADLINE = [
     "q_minhash_signature",
     "q_language_id",
     "q_ann_topk",
+    "q_token_index",          # FTS inverted index with form discount
+    "q_fuzzy_search",         # spellfix analog (levenshtein top-k)
 ]
 
 BENCH_CONCEPTS = int(os.environ.get("SPARK_GRAFT_BENCH_CONCEPTS", "40000"))
