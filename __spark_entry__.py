@@ -18,20 +18,44 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from wikdict_gen_spark.operators import dedup as D
 from wikdict_gen_spark.operators import display as DS
+from wikdict_gen_spark.operators import export as E
 from wikdict_gen_spark.operators import fuzzy as FZ
 from wikdict_gen_spark.operators import infer as I
 from wikdict_gen_spark.operators import process as P
 from wikdict_gen_spark.operators import similarity as S
+from wikdict_gen_spark.operators import skew as SK
 from wikdict_gen_spark.operators import textstats as T
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# Shared derived inputs are localCheckpoint(eager=False)-memoized per
+# (application, sf_dir): logical plans are trees, so without the lineage cut
+# every re-reference of the derived edge table re-inlines its scan+DISTINCT
+# subtree (30 separate lineitem scans in the round-2 q_gap_rule plan) and
+# every KG query rebuilds backlink/indirect from scratch.  The checkpoint
+# truncates the plan to a LogicalRDD computed once per session; serialized
+# blocks keep the multi-consumer re-scans compact (same discipline as
+# pipeline.FANOUT_STAGES, wikdict_gen_spark/pipeline.py).
+_CKPT_LEVEL = StorageLevel(True, True, False, False, 1)
+_MEMO: dict[tuple, DataFrame] = {}
+
+
+def _memo(spark: SparkSession, sf_dir: str, key: str, build) -> DataFrame:
+    mk = (spark.sparkContext.applicationId, sf_dir, key)
+    df = _MEMO.get(mk)
+    if df is None:
+        df = build().localCheckpoint(eager=False, storageLevel=_CKPT_LEVEL)
+        _MEMO[mk] = df
+    return df
 
 
 # --- derived edge table (shared by Spark and oracle SQL) ---------------------
@@ -58,23 +82,40 @@ ALL_TRANS_SQL = """
 
 
 def derived_all_trans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
-    return spark.sql(ALL_TRANS_SQL)
+    def build() -> DataFrame:
+        _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+        return spark.sql(ALL_TRANS_SQL)
+
+    return _memo(spark, sf_dir, "all_trans", build)
+
+
+def shared_backlink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _memo(
+        spark, sf_dir, "backlink",
+        lambda: I.backlink_score(derived_all_trans(spark, sf_dir)),
+    )
+
+
+def shared_indirect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _memo(
+        spark, sf_dir, "indirect",
+        lambda: I.indirect(
+            derived_all_trans(spark, sf_dir), shared_backlink(spark, sf_dir)
+        ),
+    )
 
 
 # --- KG-heart queries ---------------------------------------------------------
 
 def q_backlink_score(spark, sf_dir):
-    at = derived_all_trans(spark, sf_dir)
-    return I.backlink_score(at).select(
+    return shared_backlink(spark, sf_dir).select(
         "from_lang", "to_lang", "from_vocable", "to_vocable", "back_sense",
         F.round("backlink_score", 9).alias("backlink_score"),
     )
 
 
 def q_pivot_composition(spark, sf_dir):
-    at = derived_all_trans(spark, sf_dir)
-    ind = I.indirect(at, I.backlink_score(at))
+    ind = shared_indirect(spark, sf_dir)
     return ind.select(
         "from_lang", "to_lang", "source", "source_detail", "from_vocable",
         "to_vocable", "lexentry", "sense_num", "sense",
@@ -85,7 +126,9 @@ def q_pivot_composition(spark, sf_dir):
 
 def q_evidence_fusion(spark, sf_dir):
     at = derived_all_trans(spark, sf_dir)
-    fused = I.fuse_evidence(at)
+    fused = I.fuse_evidence(
+        at, shared_backlink(spark, sf_dir), shared_indirect(spark, sf_dir)
+    )
     return fused.select(
         "from_lang", "to_lang", "lexentry", "sense_num", "sense",
         "from_vocable", "to_vocable", "from_importance", "to_importance",
@@ -97,7 +140,10 @@ def q_evidence_fusion(spark, sf_dir):
 
 def q_gap_rule(spark, sf_dir):
     at = derived_all_trans(spark, sf_dir)
-    grouped = I.group_inferred(I.fuse_evidence(at))
+    fused = I.fuse_evidence(
+        at, shared_backlink(spark, sf_dir), shared_indirect(spark, sf_dir)
+    )
+    grouped = I.group_inferred(fused)
     return grouped.select(
         "from_lang", "to_lang", "lexentry", "sense_num", "sense", "from_vocable",
         "trans_list", F.round("score", 1).alias("score"),
@@ -1037,20 +1083,172 @@ def q_sense_match(spark, sf_dir):
     gloss-only rows against the lexentry's sense inventory
     (sense_match.match_glosses).
 
-    No SQL oracle on purpose: the score is a ratio of ln-based IDF sums,
-    and cross-engine float-summation order makes the last ulp (and thus
-    near-tie ranking) unstable between Spark and DuckDB — the driver
-    records the rows-only check; full semantics are golden-tested in
-    tests/test_sense_match.py.
+    Rank-only oracle (the q_ann_topk precedent): the compared projection is
+    the attribution decision — (lexentry, to_lang, trans, gloss,
+    matched_sense_num) — not the raw score, whose last ulp is engine-
+    dependent (libm ln + summation order).  round_digits=6 makes the
+    ranking/threshold decisions themselves cross-engine deterministic; the
+    raw score path is golden-tested in tests/test_sense_match.py.
     """
     from wikdict_gen_spark.operators import sense_match as SM
 
     _t(spark, sf_dir, "part").createOrReplaceTempView("part")
     base = spark.sql(_SENSE_BASE_SQL)
-    return SM.match_glosses(base).select(
-        "lexentry", "to_lang", "trans", "gloss", "matched_sense_num",
-        F.round("match_score", 3).alias("match_score"),
+    return SM.match_glosses(base, round_digits=6).select(
+        "lexentry", "to_lang", "trans", "gloss", "matched_sense_num"
     )
+
+
+# The oracle mirrors sense_match.match_glosses step for step; every sum is
+# over the same idf multiset in both engines, and both sides round to 6
+# decimals before the rank and the >= MIN_SCORE gate, so the compared
+# attribution decision is bit-stable.  Note sense_tok keeps duplicate
+# (lexentry, sense_num, token) rows arising from distinct sense texts of
+# the same numbered sense — the engine explodes without a cross-sense
+# dedup, and the weighted sums must see the same multiplicities.
+_ORACLE_KG["q_sense_match"] = f"""
+WITH base AS ({_SENSE_BASE_SQL}),
+inv AS (
+    SELECT DISTINCT lexentry, sense_num, sense FROM base
+    WHERE sense_num IS NOT NULL AND sense IS NOT NULL
+),
+glosses AS (
+    SELECT DISTINCT lexentry, to_lang, trans, sense AS gloss FROM base
+    WHERE sense_num IS NULL AND sense IS NOT NULL
+),
+sense_tok AS (
+    SELECT lexentry, sense_num, tok AS token
+    FROM inv, unnest(list_filter(list_distinct(
+        string_split_regex(lower(regexp_replace(sense, '[^\\p{{L}}\\p{{Nd}} ]', ' ', 'g')), '\\s+')),
+        x -> length(x) > 1)) AS u(tok)
+),
+gloss_tok AS (
+    SELECT lexentry, to_lang, trans, tok AS token
+    FROM glosses, unnest(list_filter(list_distinct(
+        string_split_regex(lower(regexp_replace(gloss, '[^\\p{{L}}\\p{{Nd}} ]', ' ', 'g')), '\\s+')),
+        x -> length(x) > 1)) AS u(tok)
+),
+nd AS (SELECT count(*) AS n FROM inv),
+idf AS (
+    SELECT token, ln((nd.n + 1.0) / (df + 1)) + 1.0 AS idf
+    FROM (
+        SELECT token, count(DISTINCT lexentry || '#' || sense_num) AS df
+        FROM sense_tok GROUP BY 1
+    ) d, nd
+    WHERE ln((nd.n + 1.0) / (df + 1)) + 1.0 > 0.0
+),
+sense_w AS (SELECT s.lexentry, s.sense_num, s.token, i.idf FROM sense_tok s JOIN idf i USING (token)),
+gloss_w AS (SELECT g.lexentry, g.to_lang, g.trans, g.token, i.idf FROM gloss_tok g JOIN idf i USING (token)),
+s_norm AS (SELECT lexentry, sense_num, sum(idf) AS s_norm FROM sense_w GROUP BY 1, 2),
+g_norm AS (SELECT lexentry, to_lang, trans, sum(idf) AS g_norm FROM gloss_w GROUP BY 1, 2, 3),
+inter AS (
+    SELECT g.lexentry, g.to_lang, g.trans, s.sense_num, sum(g.idf) AS inter
+    FROM gloss_w g JOIN sense_w s ON g.lexentry = s.lexentry AND g.token = s.token
+    GROUP BY 1, 2, 3, 4
+),
+scored AS (
+    SELECT i.lexentry, i.to_lang, i.trans, i.sense_num,
+           round(i.inter / (sn.s_norm + gn.g_norm - i.inter), 6) AS ms
+    FROM inter i
+    JOIN s_norm sn ON sn.lexentry = i.lexentry AND sn.sense_num = i.sense_num
+    JOIN g_norm gn ON gn.lexentry = i.lexentry AND gn.to_lang = i.to_lang AND gn.trans = i.trans
+),
+best AS (
+    SELECT lexentry, to_lang, trans, sense_num AS matched_sense_num
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY lexentry, to_lang, trans ORDER BY ms DESC, sense_num) AS rn
+        FROM scored
+    ) WHERE rn = 1 AND ms >= 0.2
+)
+SELECT b.lexentry, b.to_lang, b.trans, g.gloss, b.matched_sense_num
+FROM best b JOIN glosses g USING (lexentry, to_lang, trans)
+"""
+
+
+_PAIR_TRANS_SQL = """
+    SELECT 'l' || (l_suppkey % 3) AS from_lang,
+           'l' || (l_partkey % 3) AS to_lang,
+           (l_suppkey % 100) / CAST(128 AS DOUBLE) AS translation_score
+    FROM lineitem
+    WHERE (l_suppkey % 3) != (l_partkey % 3)
+"""
+
+_PAIR_FORM_SQL = """
+    SELECT 'l' || (o_custkey % 3) AS lang FROM orders WHERE o_orderkey % 2 = 0
+"""
+
+
+def q_pair_stats(spark, sf_dir):
+    """Lang-pair statistics (ref wdweb.py make_lang_pair) via
+    export.lang_pair_stats: translations count + rounded score sum per
+    pair, plus the per-from_lang form count."""
+    for name in ("lineitem", "orders"):
+        _t(spark, sf_dir, name).createOrReplaceTempView(name)
+    return E.lang_pair_stats(spark.sql(_PAIR_TRANS_SQL), form=spark.sql(_PAIR_FORM_SQL))
+
+
+_ORACLE_KG["q_pair_stats"] = f"""
+WITH t AS ({_PAIR_TRANS_SQL}),
+f AS ({_PAIR_FORM_SQL}),
+fc AS (SELECT lang AS from_lang, count(*) AS forms FROM f GROUP BY 1)
+SELECT t.from_lang, t.to_lang, count(*) AS translations,
+       CAST(round(sum(translation_score)) AS BIGINT) AS score,
+       coalesce(max(fc.forms), 0) AS forms
+FROM t LEFT JOIN fc USING (from_lang)
+GROUP BY 1, 2
+"""
+
+
+_LINK_FACT_SQL = """
+    SELECT 'l' || (l_suppkey % 3) AS to_lang,
+           CASE WHEN l_partkey % 3 = 0 THEN 'hot'
+                ELSE 'w' || (l_partkey % 40) END AS trans,
+           l_orderkey, l_linenumber,
+           (l_suppkey % 100) / CAST(128 AS DOUBLE) AS from_importance
+    FROM lineitem
+"""
+
+# link dictionary: unique per (to_lang, trans); some fact keys deliberately
+# have no dim row (-> MISSING_IMPORTANCE floor), the 'hot' key is covered
+_LINK_DIM_SQL = """
+    SELECT to_lang, trans, max(to_rel_score) AS to_rel_score FROM (
+        SELECT 'l' || (p_partkey % 3) AS to_lang,
+               'w' || (p_partkey % 50) AS trans,
+               (p_partkey % 64) / CAST(128 AS DOUBLE) AS to_rel_score
+        FROM part WHERE p_partkey % 5 != 0
+        UNION ALL
+        SELECT DISTINCT 'l' || (n_nationkey % 3) AS to_lang, 'hot' AS trans,
+               CAST(0.5 AS DOUBLE) AS to_rel_score
+        FROM nation
+    ) GROUP BY 1, 2
+"""
+
+
+def q_link_join(spark, sf_dir):
+    """J3 entity-link join: skew_aware_join (hot keys -> broadcast path,
+    tail -> shuffled path, union) + the MISSING_IMPORTANCE floor — the
+    make_translation link shape (process.py:257-277).  A third of the fact
+    rows share one hot surface form per lang; threshold=1000 forces the
+    split at sf0.01 so the hot/cold union itself is under oracle test."""
+    for name in ("lineitem", "part", "nation"):
+        _t(spark, sf_dir, name).createOrReplaceTempView(name)
+    fact = spark.sql(_LINK_FACT_SQL)
+    dim = spark.sql(_LINK_DIM_SQL)
+    out = SK.skew_aware_join(fact, dim, ["to_lang", "trans"], how="left", threshold=1000)
+    return out.select(
+        "l_orderkey", "l_linenumber", "to_lang", "trans", "from_importance",
+        F.coalesce(F.col("to_rel_score"), F.lit(0.001)).alias("to_importance"),
+    )
+
+
+_ORACLE_KG["q_link_join"] = f"""
+WITH fact AS ({_LINK_FACT_SQL}),
+dim AS ({_LINK_DIM_SQL})
+SELECT f.l_orderkey, f.l_linenumber, f.to_lang, f.trans, f.from_importance,
+       coalesce(d.to_rel_score, 0.001) AS to_importance
+FROM fact f LEFT JOIN dim d USING (to_lang, trans)
+"""
 
 
 # --- driver contract -----------------------------------------------------------
@@ -1094,6 +1292,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_token_index": q_token_index,
         "q_idiom_keys": q_idiom_keys,
         "q_sense_match": q_sense_match,
+        "q_pair_stats": q_pair_stats,
+        "q_link_join": q_link_join,
     }
 
 

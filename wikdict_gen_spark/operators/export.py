@@ -74,6 +74,31 @@ def sitemap_entries(simple_translation: DataFrame, min_importance: float = 4.0) 
     )
 
 
+def lang_pair_stats(translation: DataFrame, form: DataFrame | None = None) -> DataFrame:
+    """Per-lang-pair statistics table consumed by the frontend.
+
+    Reference /root/reference/src/wdweb.py:300-325 (make_lang_pair): one row
+    per (from_lang, to_lang) with the translation count and the rounded sum
+    of translation scores; the reference also counts the from-lang
+    database's form table, joined in here per from_lang when supplied.
+    One shuffle on the pair key; the per-from_lang form count is a tiny
+    broadcast.
+    """
+    stats = translation.groupBy("from_lang", "to_lang").agg(
+        F.count(F.lit(1)).alias("translations"),
+        F.round(F.sum("translation_score")).cast("long").alias("score"),
+    )
+    if form is not None:
+        fcnt = form.groupBy(F.col("lang").alias("from_lang")).agg(
+            F.count(F.lit(1)).alias("forms")
+        )
+        stats = (
+            stats.join(F.broadcast(fcnt), "from_lang", "left")
+            .withColumn("forms", F.coalesce("forms", F.lit(0)))
+        )
+    return stats
+
+
 def write_csv(df: DataFrame, path: str) -> None:
     df.write.mode("overwrite").option("header", "true").csv(path)
 

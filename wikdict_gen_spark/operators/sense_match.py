@@ -44,11 +44,21 @@ def sense_inventory(translation_base: DataFrame) -> DataFrame:
     )
 
 
-def match_glosses(translation_base: DataFrame) -> DataFrame:
+def match_glosses(
+    translation_base: DataFrame, round_digits: int | None = None
+) -> DataFrame:
     """Score gloss-only rows against their lexentry's sense inventory.
 
     Returns (lexentry, to_lang, trans, gloss, matched_sense_num,
     match_score); rows below MIN_SCORE are dropped.
+
+    round_digits: when set, the match score is rounded to that many
+    decimals BEFORE the best-sense ranking and the MIN_SCORE gate.  The
+    score is a ratio of ln-based IDF sums, so the raw double differs in
+    the last ulp between engines (libm ln + float summation order);
+    rounding first makes the ranking and threshold decisions
+    deterministic across engines — the mode the cross-engine oracle uses.
+    Semantics at round_digits=None are the production default.
     """
     inv = sense_inventory(translation_base)
     glosses = (
@@ -98,6 +108,10 @@ def match_glosses(translation_base: DataFrame) -> DataFrame:
             F.col("inter") / (F.col("s_norm") + F.col("g_norm") - F.col("inter")),
         )
     )
+    if round_digits is not None:
+        scored = scored.withColumn(
+            "match_score", F.round("match_score", round_digits)
+        )
     w = Window.partitionBy("lexentry", "to_lang", "trans").orderBy(
         F.col("match_score").desc(), F.col("sense_num")
     )
