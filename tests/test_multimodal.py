@@ -1,6 +1,12 @@
-"""Multimodal plumbing tests: schemas, mapInPandas batch shape, stub decode."""
+"""Multimodal plumbing tests: schemas, mapInPandas batch shape, decoders.
+
+The image path decodes REAL PNG bytes end-to-end (pure-Python IHDR
+parse); audio/video use the deterministic stub decoder.
+"""
 
 import hashlib
+import struct
+import zlib
 
 import pytest
 from pyspark.sql import functions as F
@@ -8,27 +14,82 @@ from pyspark.sql import functions as F
 from wikdict_gen_spark.operators import multimodal
 
 
+def make_png(width: int, height: int, seed: bytes = b"") -> bytes:
+    """A minimal valid PNG: signature + IHDR + 1 IDAT + IEND."""
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        body = tag + data
+        return struct.pack(">I", len(data)) + body + struct.pack(
+            ">I", zlib.crc32(body)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    raw = b"".join(b"\x00" + bytes(width) for _ in range(height))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"tEXt", b"seed\x00" + seed)
+        + chunk(b"IEND", b"")
+    )
+
+
+PNG_64x48 = make_png(64, 48, b"1")
+PNG_128x96 = make_png(128, 96, b"2")
+
+
 @pytest.fixture(scope="module")
 def media(spark):
     rows = [
-        (1, "image", b"img-bytes-1", "image/png", 64, 64, None),
-        (2, "image", b"img-bytes-2", "image/jpeg", 128, 96, None),
+        (1, "image", PNG_64x48, "image/png", None, None, None),
+        (2, "image", PNG_128x96, "image/png", None, None, None),
         (3, "audio", b"audio-bytes", "audio/wav", None, None, 2500),
         (4, "video", b"video-bytes", "video/mp4", 640, 480, 3500),
     ]
     return spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
 
 
-def test_extract_features_deterministic(spark, media):
+def test_extract_features_real_png_dims(spark, media):
+    """Real PNG bytes -> real width/height from the IHDR, end-to-end
+    through Arrow + mapInPandas."""
     out = {r["media_id"]: r for r in multimodal.extract_features(media).collect()}
     assert set(out) == {1, 2, 3, 4}
-    want = hashlib.md5(b"img-bytes-1").hexdigest()
+    assert (out[1]["width"], out[1]["height"]) == (64, 48)
+    assert (out[2]["width"], out[2]["height"]) == (128, 96)
+    # non-image kinds have no dims
+    assert out[3]["width"] is None and out[4]["width"] is None
+
+
+def test_extract_features_deterministic(spark, media):
+    out = {r["media_id"]: r for r in multimodal.extract_features(media).collect()}
+    want = hashlib.md5(PNG_64x48).hexdigest()
     assert out[1]["content_hash"] == want
-    assert out[1]["n_bytes"] == len(b"img-bytes-1")
+    assert out[1]["n_bytes"] == len(PNG_64x48)
     assert len(out[1]["embedding"]) == 8
     assert all(0.0 <= x < 1.0 for x in out[1]["embedding"])
     # same bytes -> same features; different bytes -> different hash
     assert out[1]["content_hash"] != out[2]["content_hash"]
+
+
+def test_png_decode_rejects_garbage():
+    with pytest.raises(ValueError, match="bad signature"):
+        multimodal.png_decode(b"not-a-png-at-all-padding-padding-pad")
+    # corrupt the IHDR CRC of a valid PNG
+    broken = bytearray(PNG_64x48)
+    broken[29] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        multimodal.png_decode(bytes(broken))
+    with pytest.raises(ValueError, match="NULL"):
+        multimodal.png_decode(None)
+
+
+def test_bad_png_fails_loudly_in_plan(spark):
+    bad = spark.createDataFrame(
+        [(9, "image", b"garbage-bytes-that-are-not-png-data", None, None, None, None)],
+        multimodal.MEDIA_SCHEMA,
+    )
+    with pytest.raises(Exception, match="bad signature"):
+        multimodal.extract_features(bad).collect()
 
 
 def test_unknown_kind_raises(spark):
@@ -47,6 +108,7 @@ def test_decoder_registry_swap(spark, media):
         }
         out = {r["media_id"]: r for r in multimodal.extract_features(media).collect()}
         assert out[1]["content_hash"] == "custom"
+        assert out[1]["width"] is None  # swapped decoder reports no dims
         assert out[3]["content_hash"] != "custom"  # audio untouched
     finally:
         multimodal.DECODERS.update(orig)

@@ -153,7 +153,8 @@ def test_write_tei(tmp_path, rendered, spark):
     counts = tei.write_tei(df, str(tmp_path), today="2026-08-16",
                            language_names={"de": "German", "en": "English"})
     assert counts == {"de-en": 3}
-    out = (tmp_path / "small" / "de-en.tei").read_text()
+    # ISO-639-3 distribution filename (reference tei.py:428-431)
+    out = (tmp_path / "small" / "deu-eng.tei").read_text()
     assert out.startswith('<?xml version="1.0" encoding="UTF-8"?>')
     assert "<title>German-English FreeDict+WikDict dictionary</title>" in out
     assert "<extent>3 headwords</extent>" in out
@@ -161,8 +162,70 @@ def test_write_tei(tmp_path, rendered, spark):
     assert "<edition>2026.08.16</edition>" in out
     # body sorted by written_rep: '-heit' < 'Haus' < 'K&uuml;' (binary order)
     assert out.index("heit") < out.index("Haus") < out.index("K&amp;uuml;")
+    # entries sit on their own indented lines (the reference's inter-entry
+    # tail) and never concatenate as '</entry><entry>'
+    assert "</entry><entry>" not in out
+    assert "</entry>\n    <entry>" in out
     # whole document parses
     ET.fromstring(out[out.index("<TEI"):])
+
+
+def test_write_tei_registry_defaults(tmp_path, rendered, spark):
+    """Names/codes default to the 26-language registry — a pair outside
+    {de,en,sv,fr} gets real native names and iso3 filenames."""
+    df = spark.createDataFrame(
+        [("pt", "ru", w, x) for w, x in rendered.items()],
+        "from_lang string, to_lang string, written_rep string, entry_xml string",
+    )
+    counts = tei.write_tei(df, str(tmp_path), today="2026-08-16")
+    assert counts == {"pt-ru": 3}
+    out = (tmp_path / "small" / "por-rus.tei").read_text()
+    assert "<title>português-Русский FreeDict+WikDict dictionary</title>" in out
+    assert '<body xml:lang="pt">' in out
+
+
+def test_wikdict_show_rank_truthiness(spark):
+    """rank=0 must NOT get wikdict:show (reference checks truthiness,
+    tei.py:340), rank=1 must."""
+    tg = spark.createDataFrame(
+        [("de", "en", "z-n", "Zeit", "time", None, None, 50.0, 0.5)], TG_SCHEMA
+    )
+    entry = spark.createDataFrame([("z-n", "noun", None, None)], ENTRY_SCHEMA)
+    form = spark.createDataFrame(
+        [("z-n", "rankzero", 0), ("z-n", "rankone", 1)], FORM_SCHEMA
+    )
+    rows = tei.tei_entry_rows(tg, entry, form, min_score=0.0)
+    xml = tei.tei_entry_xml(rows).collect()[0]["entry_xml"]
+    assert '<orth>rankzero</orth>' in xml
+    assert '<orth wikdict:show="true">rankone</orth>' in xml
+
+
+def test_entry_indentation_bytes(spark):
+    """Exact serialization parity with the reference's indent(entry, level=2)
+    (tei.py:25-39): children of <entry> at 6 spaces, one 2-space level per
+    depth, closing </entry> at 4 spaces, inter-entry tail '\\n    '."""
+    tg = spark.createDataFrame(
+        [("de", "en", "z-n", "Zeit", "time", None, None, 50.0, 0.5)], TG_SCHEMA
+    )
+    entry = spark.createDataFrame([("z-n", "noun", None, None)], ENTRY_SCHEMA)
+    rows = tei.tei_entry_rows(tg, entry, form=None, min_score=0.0)
+    xml = tei.tei_entry_xml(rows).collect()[0]["entry_xml"]
+    assert xml == (
+        "<entry>"
+        "\n      <form>"
+        "\n        <orth>Zeit</orth>"
+        "\n      </form>"
+        "\n      <gramGrp>"
+        "\n        <pos>n</pos>"
+        "\n      </gramGrp>"
+        "\n      <sense>"
+        '\n        <cit type="trans" xml:lang="en">'
+        "\n          <quote>time</quote>"
+        "\n        </cit>"
+        "\n      </sense>"
+        "\n    </entry>"
+        "\n    "
+    )
 
 
 def test_dict_status():

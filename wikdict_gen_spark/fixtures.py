@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import datetime
 import random
+import zlib
 from pathlib import Path
 
 import pyarrow as pa
@@ -315,7 +316,9 @@ def _plant_background_range(plan: _Plan, rng: random.Random, lo: int, hi: int) -
             _add_nym(plan, lang, word, entries[(lang, c)], "synonym", _rep(present[(lang, c - 1)]))
     for (lang, c), word in present.items():
         lex = entries[(lang, c)]
-        n_senses = 1 + (c + hash(lang)) % 2
+        # stable across processes: builtin hash() is PYTHONHASHSEED-random,
+        # which made "deterministic" corpora differ run to run
+        n_senses = 1 + (c + zlib.crc32(lang.encode())) % 2
         for s in range(1, n_senses + 1):
             gloss = f"meaning {word} {s}"
             for to_lang in LANGS:

@@ -1,9 +1,11 @@
 """Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
 The Spark-side plumbing — schemas, partitioning, Arrow batch shapes,
-mapInPandas signatures — is real and tested; the codec calls themselves
-are stubbed behind DECODERS (the sandbox image has no PIL/ffmpeg).  A
-deployment registers real decoders:
+mapInPandas signatures — is real and tested.  The image decoder is a real
+pure-Python PNG header parse (signature + CRC-checked IHDR -> width/
+height); audio/video remain deterministic stubs behind DECODERS (the
+sandbox has no ffmpeg/torchaudio).  A deployment registers richer
+decoders in place:
 
     multimodal.DECODERS["image"] = my_pil_decoder
 
@@ -50,6 +52,8 @@ FEATURE_SCHEMA = StructType(
         StructField("n_bytes", LongType()),
         StructField("content_hash", StringType()),
         StructField("embedding", ArrayType(FloatType())),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
     ]
 )
 
@@ -57,9 +61,9 @@ FEATURE_SCHEMA = StructType(
 def _fake_decode(payload: bytes) -> dict:
     """Deterministic stand-in for a real codec: features from the bytes.
 
-    Real deployments replace this (PIL decode + resize, torchaudio
-    spectrogram, ffmpeg frame sample, ...).  Raises on None payloads —
-    decoders must never silently null.
+    Real deployments replace this (torchaudio spectrogram, ffmpeg frame
+    sample, ...).  Raises on None payloads — decoders must never silently
+    null.
     """
     if payload is None:
         raise ValueError("cannot decode NULL payload")
@@ -72,8 +76,39 @@ def _fake_decode(payload: bytes) -> dict:
     }
 
 
+def png_decode(payload: bytes) -> dict:
+    """Real image decoder: pure-Python PNG signature + IHDR parse.
+
+    No codec library needed for header-level features: the 8-byte PNG
+    signature, the mandatory first chunk (13-byte IHDR, CRC-verified)
+    and its big-endian width/height (PNG spec §5.2/§11.2.2).  Malformed
+    payloads raise — schema drift and corrupt blobs must fail loudly,
+    not propagate NULL dims.  Pixel-level features (resize, visual
+    embedding) still need a real codec registered in its place.
+    """
+    import zlib
+
+    if payload is None:
+        raise ValueError("cannot decode NULL payload")
+    if len(payload) < 33 or payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG: bad signature")
+    length = int.from_bytes(payload[8:12], "big")
+    if payload[12:16] != b"IHDR" or length != 13:
+        raise ValueError("not a PNG: first chunk is not a 13-byte IHDR")
+    if zlib.crc32(payload[12:29]) != int.from_bytes(payload[29:33], "big"):
+        raise ValueError("not a PNG: IHDR CRC mismatch")
+    width = int.from_bytes(payload[16:20], "big")
+    height = int.from_bytes(payload[20:24], "big")
+    if width == 0 or height == 0:
+        raise ValueError("PNG IHDR has a zero dimension")
+    feats = _fake_decode(payload)
+    feats["width"] = width
+    feats["height"] = height
+    return feats
+
+
 DECODERS: dict[str, Callable[[bytes], dict]] = {
-    "image": _fake_decode,
+    "image": png_decode,
     "audio": _fake_decode,
     "video": _fake_decode,
 }
@@ -107,6 +142,12 @@ def extract_features(media: DataFrame, batch_size: int = 256) -> DataFrame:
                     "n_bytes": [f["n_bytes"] for f in feats],
                     "content_hash": [f["content_hash"] for f in feats],
                     "embedding": [f["embedding"] for f in feats],
+                    "width": pd.array(
+                        [f.get("width") for f in feats], dtype="Int32"
+                    ),
+                    "height": pd.array(
+                        [f.get("height") for f in feats], dtype="Int32"
+                    ),
                 }
             )
             yield out

@@ -15,9 +15,11 @@ and sitemap export (/root/reference/src/sitemap.py) as a two-phase plan:
    nested rows — never per-row Python in the shuffle path.
 
 A dictionary document is one file per language pair by contract (the
-reference writes `{from}-{to}.tei`), so the final concatenation is
-per-pair serial by nature; pairs parallelize across the cluster exactly
-like the reference's per-pair process fan-out.
+reference writes `{iso3(from)}-{iso3(to)}.tei` via language_codes3,
+tei.py:428-431).  Assembly is distributed: one repartition-by-pair job
+streams each pair's sorted entries to its file executor-side — pairs
+parallelize across the cluster like the reference's per-pair process
+fan-out, without the driver ever holding a document.
 """
 
 from __future__ import annotations
@@ -185,8 +187,14 @@ def _render_one(
     to_lang: str,
 ) -> str:
     """Single TEI <entry> element, matching single_tei_entry + add_senses
-    (/root/reference/src/tei.py:295-356) with 2-space indentation from
-    `indent(entry, level=2)` (tei.py:25-39,371)."""
+    (/root/reference/src/tei.py:295-356) serialized the way the reference
+    serializes it: `indent(entry, level=2)` puts children of <entry> at
+    6 spaces and one 2-space level deeper per nesting level
+    (tei.py:25-39,371), the wikdict:show attribute follows the reference's
+    *truthy* rank check (rank=0 gets no attribute, tei.py:340), an empty
+    <cit> self-closes the way ElementTree writes childless elements, and
+    each entry carries the reference's inter-entry tail '\\n    ' so
+    concatenated entries land on separate indented lines."""
     is_suffix = part_of_speech == "suffix" or (
         part_of_speech in ("", None) and written_rep.startswith("-")
     )
@@ -196,9 +204,7 @@ def _render_one(
         if is_suffix
         else POS_MAPPING.get(part_of_speech, (part_of_speech, None))[0]
     )
-    pad2, pad3, pad4, pad5, pad6 = (
-        "\n" + "  " * n for n in (3, 4, 5, 6, 7)
-    )
+    pad2, pad3, pad4, pad5 = ("\n" + "  " * n for n in (2, 3, 4, 5))
     out: list[str] = ["<entry>"]
 
     # form block: orth, pronunciations, inflected forms
@@ -209,7 +215,7 @@ def _render_one(
     if inflected_forms is not None and len(inflected_forms) > 0:
         out.append(pad4 + '<form type="infl">')
         for fr in inflected_forms:
-            attrs = ' wikdict:show="true"' if fr["rank"] is not None else ""
+            attrs = ' wikdict:show="true"' if fr["rank"] else ""
             out.append(
                 pad5 + f"<orth{attrs}>{escape(fr['other_written'])}</orth>"
             )
@@ -240,12 +246,16 @@ def _render_one(
         group = expanded[i:j]
         trans_list = _split_list(group[0][1])
         out.append(pad3 + "<sense>")
-        out.append(pad4 + f'<cit type="trans" xml:lang="{to_lang}">')
-        for trans in trans_list:
-            if is_suffix:
-                trans = trans[1:]
-            out.append(pad5 + f"<quote>{escape(trans)}</quote>")
-        out.append(pad4 + "</cit>")
+        if trans_list:
+            out.append(pad4 + f'<cit type="trans" xml:lang="{to_lang}">')
+            for trans in trans_list:
+                if is_suffix:
+                    trans = trans[1:]
+                out.append(pad5 + f"<quote>{escape(trans)}</quote>")
+            out.append(pad4 + "</cit>")
+        else:
+            # childless element: ElementTree self-closes (tei.py:300)
+            out.append(pad4 + f'<cit type="trans" xml:lang="{to_lang}" />')
         for gloss, _ in group:
             if gloss:
                 out.append(pad4 + "<sense>")
@@ -253,7 +263,9 @@ def _render_one(
                 out.append(pad4 + "</sense>")
         out.append(pad3 + "</sense>")
         i = j
-    out.append(pad2 + "</entry>")
+    # closing tag at entry's own indent, then the reference's inter-entry
+    # tail (tostring serializes the element INCLUDING its tail)
+    out.append(pad2 + "</entry>" + pad2)
     return "".join(out)
 
 
@@ -321,11 +333,11 @@ TEI_HEADER = """<?xml version="1.0" encoding="UTF-8"?>
     </fileDesc>
   </teiHeader>
   <text>
-    <body xml:lang="{from_lang}">
-"""
+    <body xml:lang="{from_lang}">"""
 
-TEI_FOOTER = """
-    </body>
+# entries carry their own '\n    ' tails, so the body closes flush after
+# the last tail (the reference's `<body ...>{entries}</body>` shape)
+TEI_FOOTER = """</body>
   </text>
 </TEI>
 """
@@ -345,49 +357,93 @@ def write_tei(
     out_dir: str,
     today: str,
     language_names: dict[str, str] | None = None,
+    language_codes3: dict[str, str] | None = None,
+    small_threshold: int = 5000,
 ) -> dict[str, int]:
-    """Write one `{from}-{to}.tei` per language pair; returns headword counts.
+    """Write one TEI file per language pair; returns {pair: headwords}.
 
-    The per-pair body is sorted by written_rep (the reference's ORDER BY)
-    and concatenated; pairs run independently.  Returns {pair: headwords}.
+    Filenames follow the reference's distribution contract
+    (/root/reference/src/tei.py:428-431): ISO-639-3 codes from the
+    language registry (`deu-eng.tei`), unknown codes passing through;
+    header names default to the registry's native display names.
+
+    Distributed assembly, one Spark job: repartition on the pair key +
+    sortWithinPartitions gives every task its pairs as contiguous sorted
+    runs, and each task streams its runs straight to the final files —
+    header (headword count from a tiny pre-collected aggregate), entries
+    in written_rep order, footer — via a temp file and an atomic rename.
+    The driver touches only the {pair: count} dict, never an entry body
+    (round 2 ran one collect-and-join loop per pair on the driver: 650
+    serial jobs, whole documents in driver memory).  On a multi-host
+    cluster `out_dir` must be shared storage, the same contract as any
+    file sink.
     """
     from pathlib import Path
 
-    names = language_names or {}
-    counts: dict[str, int] = {}
-    pairs = [
-        (r["from_lang"], r["to_lang"])
-        for r in entry_xml.select("from_lang", "to_lang").distinct().collect()
-    ]
+    from wikdict_gen_spark import languages as langreg
+
+    names = dict(language_names) if language_names is not None else dict(langreg.LANGUAGE_NAMES)
+    codes3 = dict(language_codes3) if language_codes3 is not None else dict(langreg.LANGUAGE_CODES3)
+
+    counts: dict[str, int] = {
+        f"{r['from_lang']}-{r['to_lang']}": r["n"]
+        for r in entry_xml.groupBy("from_lang", "to_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
     Path(out_dir).mkdir(parents=True, exist_ok=True)
-    for from_lang, to_lang in sorted(pairs):
-        rows = (
-            entry_xml.where(
-                (F.col("from_lang") == from_lang) & (F.col("to_lang") == to_lang)
-            )
-            .orderBy("written_rep")
-            .select("entry_xml")
-            .collect()
-        )
-        headwords = len(rows)
-        counts[f"{from_lang}-{to_lang}"] = headwords
-        if headwords == 0:
-            continue
-        header = TEI_HEADER.format(
-            from_name=names.get(from_lang, from_lang),
-            to_name=names.get(to_lang, to_lang),
-            version=today.replace("-", "."),
-            headwords=headwords,
-            today=today,
-            status=dict_status(headwords),
-            from_lang=from_lang,
-        )
-        body = "".join(r["entry_xml"] for r in rows)
-        sub = Path(out_dir) / ("small" if headwords < 5000 else "")
-        sub.mkdir(parents=True, exist_ok=True)
-        (sub / f"{from_lang}-{to_lang}.tei").write_text(
-            header + body + TEI_FOOTER, encoding="utf-8"
-        )
+    header_tmpl, footer = TEI_HEADER, TEI_FOOTER
+    threshold = int(small_threshold)
+
+    def write_runs(rows) -> None:
+        import os
+        from pathlib import Path as P
+
+        cur = None
+        f = None
+        tmp_path = final_path = None
+
+        def finish() -> None:
+            nonlocal f
+            if f is None:
+                return
+            f.write(footer)
+            f.close()
+            os.replace(tmp_path, final_path)
+            f = None
+
+        for r in rows:
+            pair = (r["from_lang"], r["to_lang"])
+            if pair != cur:
+                finish()
+                cur = pair
+                from_lang, to_lang = pair
+                headwords = counts[f"{from_lang}-{to_lang}"]
+                sub = P(out_dir) / ("small" if headwords < threshold else "")
+                sub.mkdir(parents=True, exist_ok=True)
+                fname = f"{codes3.get(from_lang, from_lang)}-{codes3.get(to_lang, to_lang)}.tei"
+                final_path = str(sub / fname)
+                tmp_path = final_path + f".tmp-{os.getpid()}"
+                f = open(tmp_path, "w", encoding="utf-8")
+                f.write(
+                    header_tmpl.format(
+                        from_name=names.get(from_lang, from_lang),
+                        to_name=names.get(to_lang, to_lang),
+                        version=today.replace("-", "."),
+                        headwords=headwords,
+                        today=today,
+                        status=dict_status(headwords),
+                        from_lang=from_lang,
+                    )
+                )
+            f.write(r["entry_xml"])
+        finish()
+
+    (
+        entry_xml.repartition("from_lang", "to_lang")
+        .sortWithinPartitions("from_lang", "to_lang", "written_rep", "entry_xml")
+        .foreachPartition(write_runs)
+    )
     return counts
 
 

@@ -59,6 +59,11 @@ class LazyStages(dict):
     Used by fused mode to keep the CC side thread running underneath the
     terminal kg_edges write: 'canonical'/'kg_nodes' join the thread only
     when a caller actually reads them.
+
+    Keeps dict invariants for consumers that iterate: keys()/items()/
+    values()/len() include unresolved thunk names (items()/values()
+    resolve on iteration), so snapshotting `dict(stages)` or validating
+    every stage sees the lazy entries too.
     """
 
     def __init__(self) -> None:
@@ -69,7 +74,7 @@ class LazyStages(dict):
         self._thunks[name] = thunk
 
     def _resolve(self, key: str) -> None:
-        if key not in self.keys() and key in self._thunks:
+        if not super().__contains__(key) and key in self._thunks:
             self[key] = self._thunks.pop(key)()
 
     def __getitem__(self, key):
@@ -82,6 +87,22 @@ class LazyStages(dict):
 
     def __contains__(self, key) -> bool:
         return super().__contains__(key) or key in self._thunks
+
+    def __len__(self) -> int:
+        return super().__len__() + len(self._thunks)
+
+    def __iter__(self):
+        yield from super().__iter__()
+        yield from list(self._thunks)
+
+    def keys(self):
+        return list(self)
+
+    def items(self):
+        return [(k, self[k]) for k in list(self)]
+
+    def values(self):
+        return [self[k] for k in list(self)]
 
 
 def run_pipeline(
@@ -178,7 +199,13 @@ def run_pipeline(
         aliases_early = canonicalize.alias_edges(entry, raws["nym"])
 
         def _cc() -> None:
-            cc_box["df"] = canonicalize.connected_components(aliases_early)
+            # capture failures: a raise in the side thread must surface at
+            # the consumer's read, not vanish into a KeyError('df') after a
+            # silent join()
+            try:
+                cc_box["df"] = canonicalize.connected_components(aliases_early)
+            except BaseException as exc:  # noqa: BLE001 — re-raised at read
+                cc_box["err"] = exc
 
         cc_thread = threading.Thread(target=_cc, name="cc-loop", daemon=True)
         cc_thread.start()
@@ -235,6 +262,17 @@ def run_pipeline(
 
         def _canonical() -> DataFrame:
             cc_thread.join()
+            if "err" in cc_box:
+                # fall back to a synchronous recompute once, with the
+                # original failure chained for the log; a transient executor
+                # hiccup shouldn't sink the whole fused run at its last read
+                try:
+                    return canonicalize.connected_components(aliases_early)
+                except BaseException as exc:
+                    raise RuntimeError(
+                        "connected_components failed on the CC side thread "
+                        f"(original: {cc_box['err']!r}) and on synchronous retry"
+                    ) from exc
             return cc_box["df"]
 
         out.lazy("canonical", _canonical)

@@ -118,15 +118,26 @@ def get_spark(
 
 
 def _package_zip() -> str:
-    """Zip wikdict_gen_spark for addPyFile (the --py-files payload)."""
+    """Zip wikdict_gen_spark for addPyFile (the --py-files payload).
+
+    Written to a unique temp name and os.replace()d into place: two
+    concurrent local-cluster sessions on one host would otherwise race on
+    a fixed path — one truncating the zip while the other's executors
+    fetch it.  The rename is atomic, so every fetch sees a complete zip.
+    """
     import zipfile
     from pathlib import Path
 
     pkg_dir = Path(__file__).resolve().parent
     out = Path(tempfile.gettempdir()) / "wikdict_gen_spark_pyfiles.zip"
-    with zipfile.ZipFile(out, "w") as z:
+    fd, tmp = tempfile.mkstemp(
+        suffix=".zip", prefix="wikdict_gen_spark_pyfiles.", dir=out.parent
+    )
+    os.close(fd)
+    with zipfile.ZipFile(tmp, "w") as z:
         for p in sorted(pkg_dir.rglob("*.py")):
             z.write(p, f"wikdict_gen_spark/{p.relative_to(pkg_dir)}")
+    os.replace(tmp, out)
     return str(out)
 
 
