@@ -602,7 +602,9 @@ FROM documents GROUP BY 1
 
 def q_minhash_signature(spark, sf_dir):
     sh = D.shingles(_t(spark, sf_dir, "documents"), k=3)
-    sig = D.minhash_signatures(sh, num_hashes=4)
+    # compact=False pins the md5-hex oracle-portable shape (the engine
+    # default is the compact xxhash64 production shape)
+    sig = D.minhash_signatures(sh, num_hashes=4, compact=False)
     return sig.select(
         "doc_id",
         *[F.element_at("minhash", i + 1).alias(f"mh{i}") for i in range(4)],

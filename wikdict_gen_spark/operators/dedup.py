@@ -49,14 +49,15 @@ def shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
 
 
 def minhash_signatures(sh: DataFrame, id_col: str = "doc_id",
-                       num_hashes: int = 16, compact: bool = False) -> DataFrame:
+                       num_hashes: int = 16, compact: bool = True) -> DataFrame:
     """MinHash signature per doc: for seed i, min over hash(i || shingle).
 
-    compact=False (default): md5 hex strings — engine-portable (hex-string
-    min == numeric min), the oracle-comparison shape.
-    compact=True: xxhash64 longs — 8 bytes per hash instead of a 32-char
-    string, ~4x lighter on the shuffle wire; the production shape at
-    cluster scale.  Same algorithm, same downstream banding contract.
+    compact=True (default): xxhash64 longs — 8 bytes per hash instead of
+    a 32-char string, ~4x lighter on the shuffle wire; the production
+    shape at cluster scale.
+    compact=False: md5 hex strings — engine-portable (hex-string min ==
+    numeric min), the oracle-comparison shape (q_minhash_signature pins
+    it explicitly).  Same algorithm, same downstream banding contract.
     Output: (id, minhash array of length num_hashes).
     """
     if compact:

@@ -28,16 +28,25 @@ def extract_text(pages: DataFrame) -> DataFrame:
     )
 
 
-def records(extracted: DataFrame) -> DataFrame:
-    """Explode page text into tab-separated record lines (tag, parts)."""
+def records(extracted: DataFrame, keep_url: bool = False) -> DataFrame:
+    """Explode page text into tab-separated record lines (tag, parts).
+
+    keep_url=False (default) drops the source url from the fan-out: no
+    fact table consumes it, and the records relation is the widest
+    multi-consumer intermediate in the pipeline (seven raw-table filters
+    re-scan it), so a ~35-char provenance string per record line is pure
+    shuffle/cache traffic at scale.  Page-level provenance lives in the
+    extract stage (url -> byte-identical text contract) and snapshot-level
+    lineage in the catalog's metrics rows; pass keep_url=True when
+    debugging record attribution.
+    """
+    cols = (["url"] if keep_url else []) + ["lang"]
     lines = extracted.select(
-        "url",
-        "lang",
+        *cols,
         F.explode(F.split(F.col("text"), "\n")).alias("line"),
     ).where(F.col("line").startswith("#"))
     return lines.select(
-        "url",
-        "lang",
+        *cols,
         F.split(F.col("line"), "\t").alias("p"),
     ).withColumn("tag", F.col("p").getItem(0))
 

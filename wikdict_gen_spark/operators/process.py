@@ -254,13 +254,18 @@ def make_translation_base(cleaned_translation: DataFrame, entry: DataFrame,
     return t.join(from_imp, ["from_lang", "vocable"])
 
 
-def make_translation(translation_base: DataFrame, importance: DataFrame) -> DataFrame:
+def make_translation(
+    translation_base: DataFrame, importance: DataFrame, audit: bool = True
+) -> DataFrame:
     """Entity linking + duplicate collapse (the join-heavy half).
 
     The cleaned surface form `trans` resolves to the target language's
     vocabulary through the written_rep_guess dictionary; targets with no
     importance row get the 0.001 floor.  The link join is the #1 skew
     point (hot surface forms), handled by skew_aware_join.
+
+    audit=False skips the all_lexentries inventory column (see
+    collapse_duplicate_lexentries) — the throughput pipeline's choice.
     """
     t = translation_base
     to_imp = importance.select(
@@ -273,25 +278,35 @@ def make_translation(translation_base: DataFrame, importance: DataFrame) -> Data
         "to_importance", F.coalesce(F.col("to_rel_score"), F.lit(C.MISSING_IMPORTANCE))
     ).drop("to_rel_score")
     return collapse_duplicate_lexentries(
-        t, ["from_lang", "to_lang", "sense_num", "sense", "written_rep", "trans"]
+        t, ["from_lang", "to_lang", "sense_num", "sense", "written_rep", "trans"],
+        audit=audit,
     )
 
 
-def collapse_duplicate_lexentries(t: DataFrame, keys: list[str]) -> DataFrame:
+def collapse_duplicate_lexentries(
+    t: DataFrame, keys: list[str], audit: bool = True
+) -> DataFrame:
     """A10 duplicate-lexentry collapse (transitive/intransitive variants).
 
     One row per translation key: the canonical lexentry is the lexical
-    minimum, importances take the max over the collapsed rows, and the
-    full sorted lexentry inventory is kept as an audit column (the
-    reference keeps min(lexentry) + an implicit group,
+    minimum, importances take the max over the collapsed rows, and (with
+    audit=True) the full sorted lexentry inventory is kept as an audit
+    column (the reference keeps min(lexentry) + an implicit group,
     /root/reference/src/process.py:251-259).
+
+    audit=False drops the inventory: the collect_list array is built in
+    the partial aggregation, so it rides the widest exchange of the whole
+    pipeline (every translation row's lexentry string, shuffled) — pure
+    debugging payload nothing downstream reads.
     """
-    return t.groupBy(*keys).agg(
+    aggs = [
         F.min("lexentry").alias("lexentry"),
         F.max("from_importance").alias("from_importance"),
         F.max("to_importance").alias("to_importance"),
-        F.sort_array(F.collect_list("lexentry")).alias("all_lexentries"),
-    )
+    ]
+    if audit:
+        aggs.append(F.sort_array(F.collect_list("lexentry")).alias("all_lexentries"))
+    return t.groupBy(*keys).agg(*aggs)
 
 
 def make_all_trans(translation: DataFrame) -> DataFrame:

@@ -40,7 +40,10 @@ RAW_TABLES = ["entry", "pos", "gender", "pronun", "form", "translation", "nym"]
 # infer_grouped if a caller materializes it separately) recomputes from
 # the nearest upstream checkpoint — bounded by construction.
 FANOUT_STAGES = frozenset({
-    "extracted",          # records + parse_records
+    # NOT "extracted": parse_records reads the records relation, never the
+    # extracted text itself, so records() is its only real consumer — the
+    # full cleaned corpus text flows straight into the record explode
+    # without being materialized a second time
     "records",            # seven raw-table filters
     "entry",              # importance, translation_base, alias_edges, kg_*
     "translation_clean",  # importance, translation_base
@@ -225,7 +228,7 @@ def run_pipeline(
     if done[0]:
         return out
     translation = stage("translation", lambda: process.make_translation(
-        translation_base, importance))
+        translation_base, importance, audit=False))
     if done[0]:
         return out
     all_trans = stage("all_trans", lambda: process.make_all_trans(translation))

@@ -72,6 +72,14 @@ def get_spark(
             "spark.sql.adaptive.advisoryPartitionSizeInBytes",
             os.environ.get("SPARK_GRAFT_ADVISORY_PARTITION", "8m"),
         )
+        # lz4 on serialized cached blocks (the localCheckpoint storage):
+        # multi-consumer re-scans of checkpointed stages are memory-
+        # bandwidth traffic on a single box, and compressed blocks trade
+        # cheap lz4 CPU for 2-4x less of it (A/B-able via env)
+        .config(
+            "spark.rdd.compress",
+            os.environ.get("SPARK_GRAFT_RDD_COMPRESS", "false"),
+        )
         .config("spark.sql.shuffle.partitions", str(shuffle))
         .config("spark.default.parallelism", str(cpus))
         # Arrow is the transport for every pandas UDF in the engine
