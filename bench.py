@@ -258,7 +258,35 @@ overheads amortize); the curve above is the largest corpus whose
 Generated by `python bench.py --scaling` (pair via SPARK_GRAFT_SCALE_PAIR,
 extra curve points via SPARK_GRAFT_SCALE_EXTRA, corpus size via
 SPARK_GRAFT_BENCH_CONCEPTS).
-""")
+{_ann_recall_md()}""")
+
+
+def _ann_recall_md() -> str:
+    """ANN recall section from scripts/ann_recall.py's ANN_RECALL.json."""
+    p = Path("ANN_RECALL.json")
+    if not p.exists():
+        return ""
+    r = json.loads(p.read_text())
+    rows = "\n".join(
+        f"| {x['n_planes']} | {x['n_probes']} | {x['recall_at_5']:.3f} "
+        f"| {x['avg_candidates_per_query']} |"
+        for x in r["rows"]
+    )
+    return f"""
+## ANN recall at scale (lsh_topk vs brute_force_topk)
+
+{r['corpus_vectors']} vectors (dim {r['dim']}, clustered: {r['base_vectors']}
+real sf0.1 embeddings x jittered copies), {r['n_queries']} held-out queries,
+recall@{r['k']} against the exact cosine baseline.  Multi-probe flips the
+lowest-margin signature bits (Lv et al.), multiplying only the broadcast
+query side — candidates/query is the scan-cost knob:
+
+| n_planes | n_probes | recall@{r['k']} | avg candidates/query |
+|---|---|---|---|
+{rows}
+
+Measured by `python scripts/ann_recall.py` (writes ANN_RECALL.json).
+"""
 
 
 if __name__ == "__main__":
