@@ -1253,6 +1253,67 @@ FROM fact f LEFT JOIN dim d USING (to_lang, trans)
 """
 
 
+# F8 interactive search (ref run.py:10-28) as a batch operator.  The tg
+# derivation carries the full serving row the reference's wdweb
+# `translation` table exposes; queries are single lowercase tokens.
+_SEARCH_TG_SQL = """
+    SELECT 'L' || p_partkey AS lexentry,
+           lower(p_name) AS written_rep,
+           (p_partkey % 100) / CAST(128 AS DOUBLE) AS importance,
+           CASE WHEN p_partkey % 4 = 0 THEN NULL
+                ELSE '0' || (p_partkey % 4) END AS min_sense_num,
+           lower(p_type) AS sense_list,
+           lower(p_brand) AS trans_list,
+           (p_partkey % 64) / CAST(128 AS DOUBLE) AS translation_score
+    FROM part
+"""
+
+_SEARCH_Q_SQL = """
+    SELECT p_partkey AS query_id, split_part(lower(p_name), ' ', 2) AS term
+    FROM part WHERE p_partkey <= 20
+"""
+
+
+def q_search(spark, sf_dir):
+    """F8 search entry point: token-index MATCH -> translation join -> the
+    reference's ORDER BY + LIMIT as a per-query window
+    (display.search_translations over display.inverted_token_index)."""
+    _t(spark, sf_dir, "part").createOrReplaceTempView("part")
+    tg = spark.sql(_SEARCH_TG_SQL)
+    idx = DS.inverted_token_index(tg, form=None, from_lang="de")
+    qs = spark.sql(_SEARCH_Q_SQL)
+    return DS.search_translations(tg, idx, qs, from_lang="de")
+
+
+_ORACLE_KG["q_search"] = f"""
+WITH tg AS ({_SEARCH_TG_SQL}),
+qs AS ({_SEARCH_Q_SQL}),
+toks AS (
+    SELECT unnest(string_split(written_rep, ' ')) AS token, written_rep
+    FROM tg
+),
+idx AS (SELECT DISTINCT token, written_rep FROM toks WHERE token != ''),
+matched AS (
+    SELECT DISTINCT q.query_id, q.term, i.written_rep
+    FROM qs q JOIN idx i ON i.token = q.term
+),
+joined AS (
+    SELECT m.query_id, m.term, t.*
+    FROM matched m JOIN tg t USING (written_rep)
+),
+ranked AS (
+    SELECT query_id, lexentry, written_rep, sense_list, trans_list,
+        row_number() OVER (PARTITION BY query_id ORDER BY
+            (CASE WHEN contains(written_rep, term) THEN 1 ELSE 0 END) DESC,
+            length(written_rep), lexentry, coalesce(min_sense_num, '99'),
+            importance * translation_score DESC, written_rep, trans_list) AS rn
+    FROM joined
+)
+SELECT query_id, lexentry, written_rep, sense_list, trans_list, rn
+FROM ranked WHERE rn <= 100
+"""
+
+
 # --- driver contract -----------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -1296,6 +1357,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sense_match": q_sense_match,
         "q_pair_stats": q_pair_stats,
         "q_link_join": q_link_join,
+        "q_search": q_search,
     }
 
 

@@ -77,6 +77,38 @@ def test_inverted_token_index_en_porter(spark):
     assert de_tokens == {"running", "shoes"}
 
 
+def test_search_translations_stemmed(spark):
+    """F8 search: the query term is stemmed with the SAME tokenizer as the
+    index (the FTS4 contract), the substring-hit ordering beats length,
+    and the per-query limit applies."""
+    rows = [
+        ("en", "de", "e/run__v__1", "running", "laufend", "01", "laufend",
+         100.0, 0.5, 0.5),
+        ("en", "de", "e/run__n__1", "run", "Lauf", "01", "Lauf",
+         100.0, 0.9, 0.9),
+        ("en", "de", "e/shoe__n__1", "shoes", "Schuhe", None, "Schuhe",
+         100.0, 0.2, 0.2),
+    ]
+    g = spark.createDataFrame(
+        rows,
+        "from_lang string, to_lang string, lexentry string, written_rep string, "
+        "sense_list string, min_sense_num string, trans_list string, "
+        "score double, importance double, translation_score double",
+    )
+    idx = display.inverted_token_index(g, from_lang="en")
+    qs = spark.createDataFrame([(1, "runs"), (2, "shoe")], "query_id int, term string")
+    out = display.search_translations(g, idx, qs, from_lang="en").collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append((r["rn"], r["written_rep"]))
+    # 'runs' stems to 'run' -> matches both 'run' and 'running' postings;
+    # neither contains the raw term 'runs', so shorter headword wins
+    assert sorted(by_q[1]) == [(1, "run"), (2, "running")]
+    # 'shoe' stems to 'shoe' -> matches the 'shoes' posting (index stemmed
+    # 'shoes' -> 'shoe'); substring hit ('shoe' in 'shoes')
+    assert sorted(by_q[2]) == [(1, "shoes")]
+
+
 def test_idiom_keys(spark, grouped_df):
     out = display.idiom_keys(grouped_df).collect()
     assert len(out) == 1

@@ -121,6 +121,65 @@ def inverted_token_index(
     )
 
 
+def search_translations(
+    translation_grouped: DataFrame,
+    token_index: DataFrame,
+    queries: DataFrame,
+    from_lang: str | None = None,
+    k: int = 100,
+) -> DataFrame:
+    """F8 serving-side search as a batch operator (ref run.py:10-28).
+
+    The reference's interactive entry point per query term:
+        SELECT ... FROM (SELECT DISTINCT written_rep FROM search_trans
+                         WHERE form MATCH :term)
+        JOIN translation USING (written_rep)
+        ORDER BY lower(written_rep) LIKE '%term%' DESC,
+                 length(written_rep), lexentry,
+                 coalesce(min_sense_num, '99'),
+                 importance * translation_score DESC
+        LIMIT 100
+    Here the FTS MATCH is an equi-join of the (stemmed, like the index's
+    tokenizer) query token against the inverted token index, the LIMIT is
+    a per-query row_number window, and many queries run in one job — the
+    queries side is a broadcast, the index join is the only shuffle.
+    Single-token terms (the reference's CLI contract); extra tiebreaks
+    (written_rep, trans_list) make the cut deterministic where sqlite
+    leaves it unspecified.
+    """
+    q = queries.select(
+        "query_id", F.lower(F.col("term")).alias("term")
+    ).withColumn("token", F.lower(F.col("term")))
+    if from_lang in STEMMED_LANGS:
+        from wikdict_gen_spark.functions.spark_udfs import porter_stem_udf
+
+        q = q.withColumn("token", porter_stem_udf(F.col("token")))
+    matched = (
+        F.broadcast(q)
+        .join(token_index.select("token", "written_rep").distinct(), "token")
+        .select("query_id", "term", "written_rep")
+        .distinct()
+    )
+    joined = matched.join(translation_grouped, "written_rep")
+    like_hit = F.lower(F.col("written_rep")).contains(F.col("term"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.when(like_hit, 1).otherwise(0).desc(),
+        F.length("written_rep"),
+        F.col("lexentry"),
+        F.coalesce(F.col("min_sense_num"), F.lit("99")),
+        (F.col("importance") * F.col("translation_score")).desc(),
+        F.col("written_rep"),
+        F.col("trans_list"),
+    )
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select(
+            "query_id", "lexentry", "written_rep", "sense_list", "trans_list", "rn"
+        )
+    )
+
+
 def idiom_keys(translation_grouped: DataFrame) -> DataFrame:
     """Multi-word headwords (the reference's idioms index)."""
     return (
