@@ -778,6 +778,29 @@ SELECT query, word, dist, rank, rn FROM (
 """
 
 
+def q_embed_near_dup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs via the exact (oracle-comparable)
+    path of dedup.embedding_near_dups; the LSH bucket path is tested for
+    the subset + planted-dup properties in tests/test_dataops.py.
+
+    The 0.3665 threshold sits in a measured 6.6e-4-wide gap of the sf0.01
+    cosine distribution, so ulp-level engine differences cannot flip a
+    pair across the gate; the projection drops the raw cosine."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return D.embedding_near_dups(emb, threshold=0.3665, method="exact")
+
+
+_ORACLE_KG["q_embed_near_dup"] = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b
+FROM e a, e b
+WHERE a.vec_id < b.vec_id
+  AND list_dot_product(a.v, b.v)
+      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+      >= 0.3665
+"""
+
+
 def q_ann_topk(spark, sf_dir):
     """Brute-force cosine top-5 (rank output only — float-order safe)."""
     emb = _t(spark, sf_dir, "embeddings")
@@ -1358,6 +1381,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pair_stats": q_pair_stats,
         "q_link_join": q_link_join,
         "q_search": q_search,
+        "q_embed_near_dup": q_embed_near_dup,
     }
 
 

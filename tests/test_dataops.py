@@ -56,6 +56,34 @@ class TestDedup:
         assert out[(1, 2)] == pytest.approx(1.0)
         assert (1, 5) not in out or out[(1, 5)] < 0.2
 
+    def test_embedding_near_dups(self, spark):
+        """Planted jittered copies: exact finds them, LSH finds a subset
+        that still includes the planted near-dup pairs."""
+        import random
+
+        rng = random.Random(7)
+        base = [[rng.uniform(-1, 1) for _ in range(16)] for _ in range(6)]
+        rows = []
+        for i, v in enumerate(base):
+            rows.append((i * 2, [float(x) for x in v]))
+            # close copy: tiny jitter -> cosine ~0.999
+            rows.append((i * 2 + 1, [float(x + rng.uniform(-0.02, 0.02)) for x in v]))
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        planted = {(i * 2, i * 2 + 1) for i in range(6)}
+        exact = {
+            (r["id_a"], r["id_b"])
+            for r in dedup.embedding_near_dups(emb, 0.95, method="exact").collect()
+        }
+        assert planted <= exact
+        lsh = {
+            (r["id_a"], r["id_b"])
+            for r in dedup.embedding_near_dups(
+                emb, 0.95, method="lsh", dim=16, n_planes=4
+            ).collect()
+        }
+        assert lsh <= exact  # bucket path never invents pairs
+        assert planted <= lsh  # jittered copies share the sign signature
+
     def test_simhash_near_dups_close(self, docs):
         sig = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs).collect()}
         def hamming(a, b):

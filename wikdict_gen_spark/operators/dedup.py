@@ -154,6 +154,62 @@ def ngram_jaccard(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
     )
 
 
+def embedding_near_dups(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    method: str = "lsh",
+    n_planes: int = 8,
+    dim: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a < id_b, cosine >= threshold).
+
+    method="lsh" (default, the scale path): candidates must share a
+    random-hyperplane sign signature (similarity.rp_signature) — the
+    all-pairs product collapses to per-bucket joins keyed on the
+    signature, the same shuffle shape as MinHash banding.  Misses pairs
+    whose signatures differ (recall grows with fewer planes); the planted
+    near-dup and subset-of-exact properties are tested.
+
+    method="exact": the full O(n^2) self-join — the verification/oracle
+    path and the correct choice for small relations (e.g. per-partition
+    refinement); do not run it on a 10^9-row table.
+    """
+    from wikdict_gen_spark.operators import similarity as S
+
+    e = embeddings.select(F.col(id_col), F.col(vec_col))
+    if method == "lsh":
+        if dim is None:
+            raise ValueError("dim is required for method='lsh'")
+        planes = [S._hyperplane(p, dim) for p in range(n_planes)]
+        e = e.withColumn("__sig", S.rp_signature(F.col(vec_col), planes))
+        join_keys = [F.col(f"a.__sig") == F.col(f"b.__sig")]
+    elif method == "exact":
+        join_keys = []
+    else:
+        raise ValueError(f"unknown method {method!r}")
+    a, b = e.alias("a"), e.alias("b")
+    cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    for k in join_keys:
+        cond = cond & k
+    pairs = a.join(b, cond)
+    cos = S.cosine_expr(
+        F.col(f"a.{vec_col}").cast("array<double>"),
+        F.col(f"b.{vec_col}").cast("array<double>"),
+    )
+    return (
+        pairs.select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            cos.alias("cosine"),
+        )
+        .where(F.col("cosine") >= float(threshold))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
 def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
             bits: int = 16) -> DataFrame:
     """SimHash fingerprint: per bit, sign of the sum of token-hash bits.
