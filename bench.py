@@ -42,7 +42,11 @@ HEADLINE = [
     "q_fuzzy_search",         # spellfix analog (levenshtein top-k)
 ]
 
-BENCH_CONCEPTS = int(os.environ.get("SPARK_GRAFT_BENCH_CONCEPTS", "40000"))
+# 150k concepts: the smallest corpus where the pipeline's fixed floor
+# (JVM+plan+serial stage-materialization latency, ~40-70s) stops dominating
+# the reported throughput — 78.8k t/s at 150k vs 80.9k at 300k vs ~29k at
+# the floor-bound 40k, measured on local[32]
+BENCH_CONCEPTS = int(os.environ.get("SPARK_GRAFT_BENCH_CONCEPTS", "150000"))
 
 
 def bench_corpus(n_concepts: int | None = None) -> str:
