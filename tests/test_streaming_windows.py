@@ -1,0 +1,128 @@
+"""Streaming windowed aggregation (watermark/late-data) + stateful dedup."""
+
+import datetime
+import os
+import time
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from wikdict_gen_spark import schemas
+from wikdict_gen_spark.streaming.windows import (
+    streaming_exact_dedup,
+    windowed_page_stats,
+)
+
+T0 = datetime.datetime(2026, 1, 1, 10, 0, 0)
+
+
+def _pages_table(rows):
+    """rows: (url, ts_offset_minutes, text, lang)."""
+    return pa.table(
+        {
+            "url": pa.array([r[0] for r in rows], pa.string()),
+            "warc_ts": pa.array(
+                [T0 + datetime.timedelta(minutes=r[1]) for r in rows],
+                pa.timestamp("us", tz="UTC"),
+            ),
+            "html": pa.array([r[2].encode() for r in rows], pa.binary()),
+            "text": pa.array([r[2] for r in rows], pa.string()),
+            "lang": pa.array([r[3] for r in rows], pa.string()),
+        }
+    )
+
+
+def _run_stream(spark, src, build, sink_name, extra_reader=None):
+    reader = spark.readStream.schema(schemas.PAGES).option(
+        "maxFilesPerTrigger", "1"
+    )
+    stream = reader.parquet(str(src))
+    out = build(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName(sink_name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql(f"SELECT * FROM {sink_name}")
+
+
+def test_windowed_stats_and_late_drop(spark, tmp_path):
+    src = tmp_path / "landing"
+    src.mkdir()
+    # batch 1: pages at 10:05 and 11:10 -> stream max event time 11:10,
+    # watermark (1h delay) = 10:10
+    pq.write_table(
+        _pages_table(
+            [
+                ("u1", 5, "a", "de"),
+                ("u2", 5, "b", "de"),
+                ("u3", 70, "c", "en"),
+            ]
+        ),
+        src / "b1.parquet",
+    )
+    # batch 2: an on-time page (11:20) -> max event time 11:20
+    pq.write_table(_pages_table([("u4", 80, "d", "en")]), src / "b2.parquet")
+    # batch 3: a LATE page (8:30), far behind the operative watermark
+    # (the watermark lags one micro-batch: stats from batch N set the
+    # watermark enforced from batch N+1 on, so the drop is only
+    # guaranteed once a batch boundary has passed since 11:10 was seen)
+    pq.write_table(_pages_table([("u_late", -90, "e", "de")]), src / "b3.parquet")
+    # the file source orders batches by modification time: pin them
+    now = time.time()
+    for i, f in enumerate(["b1", "b2", "b3"]):
+        os.utime(src / f"{f}.parquet", (now - 100 + i * 10, now - 100 + i * 10))
+
+    got = _run_stream(
+        spark, src,
+        lambda s: windowed_page_stats(s, window="1 hour", watermark="1 hour"),
+        "win_stats",
+    )
+    # update mode emits one row per (window, lang) per batch; keep the last
+    rows = {}
+    for r in got.collect():
+        rows[(r["window_start"].hour, r["lang"])] = r["n_pages"]
+    assert rows[(10, "de")] == 2          # u1, u2
+    assert rows[(11, "en")] == 2          # u3, u4 (cross-batch window update)
+    # the 8:30 late row never produced an (8, 'de') window
+    assert (8, "de") not in rows
+
+
+def test_streaming_exact_dedup_cross_batch(spark, tmp_path):
+    src = tmp_path / "landing2"
+    src.mkdir()
+    # batch 1: two urls with identical content + one unique
+    pq.write_table(
+        _pages_table(
+            [
+                ("u_b", 1, "same  content", "de"),
+                ("u_a", 2, "same content", "de"),   # ws-normalized dup of u_b
+                ("u_x", 3, "unique", "en"),
+            ]
+        ),
+        src / "b1.parquet",
+    )
+    time.sleep(1.1)
+    # batch 2: the same content arrives AGAIN -> state must remember it
+    pq.write_table(
+        _pages_table([("u_c", 10, "same content", "de")]), src / "b2.parquet"
+    )
+    os.utime(src / "b2.parquet")
+
+    got = _run_stream(spark, src, streaming_exact_dedup, "dedup_stream")
+    rows = got.collect()
+    by_hash = {}
+    for r in rows:
+        by_hash.setdefault(r["content_hash"], []).append(r)
+    assert len(by_hash) == 2  # two distinct contents
+    dup_rows = next(v for v in by_hash.values() if len(v) == 2)
+    # canonical url chosen in batch 1 (lexically smallest) and STABLE in
+    # batch 2 even though only u_c arrived there
+    assert {r["url"] for r in dup_rows} == {"u_a"}
+    assert sorted(r["n_dups_total"] for r in dup_rows) == [2, 3]
+    uniq_rows = next(v for v in by_hash.values() if len(v) == 1)
+    assert uniq_rows[0]["url"] == "u_x" and uniq_rows[0]["n_dups_total"] == 1

@@ -1,0 +1,129 @@
+"""Streaming windowed aggregation + custom stateful operators.
+
+Two engine capabilities the batch reference has no analog for:
+
+- `windowed_page_stats`: tumbling event-time windows over the crawl
+  timestamp with a watermark, so late pages update their window until the
+  watermark passes and are dropped after — the standard late-data
+  contract for a feed that arrives hours out of order.
+- `streaming_exact_dedup`: cross-micro-batch exact dedup as a custom
+  stateful operator (`applyInPandasWithState`): state is one counter per
+  content hash, the first arrival is emitted as canonical, later
+  arrivals only bump the duplicate count.  At 100 TB the state store
+  shards by the hash key across executors; pass a processing-time
+  timeout so abandoned keys age out instead of growing state forever.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+
+def windowed_page_stats(
+    pages_stream: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Per (window, lang): page count + distinct-url estimate.
+
+    Event time is `warc_ts` (the crawl timestamp).  The watermark bounds
+    state: a page later than `watermark` behind the stream's max event
+    time is dropped, everything newer updates its window in place.
+    approx_count_distinct keeps the distinct-url state O(1) per window
+    (an exact countDistinct is unbounded state in streaming).
+    """
+    return (
+        pages_stream.withWatermark("warc_ts", watermark)
+        .groupBy(F.window("warc_ts", window).alias("w"), "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_pages"),
+            F.approx_count_distinct("url").alias("n_urls_approx"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "lang",
+            "n_pages",
+            "n_urls_approx",
+        )
+    )
+
+
+DEDUP_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("content_hash", StringType(), False),
+        StructField("url", StringType()),
+        StructField("lang", StringType()),
+        StructField("first_ts", TimestampType()),
+        StructField("n_dups_total", LongType(), False),
+    ]
+)
+
+DEDUP_STATE_SCHEMA = StructType(
+    [
+        StructField("n_seen", LongType(), False),
+        StructField("first_url", StringType()),
+    ]
+)
+
+
+def _dedup_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per content-hash group: emit the canonical (first) row once, keep a
+    running duplicate counter in state.  Deterministic canonical choice:
+    the lexically smallest url of the first batch that sees the key."""
+    (n_seen, first_url) = state.get if state.exists else (0, None)
+    batch = pd.concat(list(pdfs), ignore_index=True)
+    batch = batch.sort_values("url", kind="mergesort")
+    new_total = n_seen + len(batch)
+    is_first = n_seen == 0
+    if is_first:
+        first_url = batch.iloc[0]["url"]
+    state.update((int(new_total), first_url))
+    out = pd.DataFrame(
+        {
+            "content_hash": [key[0]],
+            "url": [first_url],
+            "lang": [batch.iloc[0]["lang"]],
+            "first_ts": [batch.iloc[0]["warc_ts"]],
+            "n_dups_total": [int(new_total)],
+        }
+    )
+    yield out
+
+
+def streaming_exact_dedup(pages_stream: DataFrame) -> DataFrame:
+    """Cross-batch exact dedup: one output row per content hash per batch
+    it appears in, carrying the canonical url and the running duplicate
+    count (n_dups_total).  Downstream keeps rows where n_dups_total equals
+    the batch's first sighting or aggregates the counts — either way the
+    canonical choice is stable across batches because it lives in state.
+    """
+    hashed = pages_stream.select(
+        F.md5(
+            F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+        ).alias("content_hash"),
+        "url",
+        "lang",
+        "warc_ts",
+    )
+    return hashed.groupBy("content_hash").applyInPandasWithState(
+        _dedup_fn,
+        outputStructType=DEDUP_OUTPUT_SCHEMA,
+        stateStructType=DEDUP_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
