@@ -778,6 +778,121 @@ SELECT query, word, dist, rank, rn FROM (
 """
 
 
+def q_ngram_jaccard(spark, sf_dir):
+    """Exact shingle-set Jaccard for a deterministic candidate-pair list
+    (dedup.ngram_jaccard).  jaccard = n_inter/(n_a+n_b-n_inter): integer
+    operands, one double division — bit-identical across engines."""
+    docs = _t(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("documents")
+    pairs = spark.sql(
+        "SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM documents a "
+        "JOIN documents b ON b.doc_id = a.doc_id + 1 WHERE a.doc_id % 3 = 0"
+    )
+    return D.ngram_jaccard(docs, pairs, k=3).select(
+        "id_a", "id_b", "jaccard"
+    )
+
+
+_ORACLE_KG["q_ngram_jaccard"] = """
+WITH toks AS (
+    SELECT doc_id,
+           string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+    FROM documents
+),
+grams AS (
+    SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+    FROM toks, unnest(range(1, greatest(len(t) - 3, 0) + 2)) AS u(i)
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY 1),
+pairs AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM documents a
+    JOIN documents b ON b.doc_id = a.doc_id + 1 WHERE a.doc_id % 3 = 0
+),
+inter AS (
+    SELECT p.id_a, p.id_b, count(*) AS n_inter
+    FROM pairs p
+    JOIN grams ga ON ga.doc_id = p.id_a
+    JOIN grams gb ON gb.doc_id = p.id_b AND gb.shingle = ga.shingle
+    GROUP BY 1, 2
+)
+SELECT i.id_a, i.id_b,
+       i.n_inter * 1.0 / (sa.n + sb.n - i.n_inter) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.id_a
+JOIN sizes sb ON sb.doc_id = i.id_b
+"""
+
+
+def q_simhash(spark, sf_dir):
+    """SimHash fingerprints (dedup.simhash, 16 md5-nibble-parity bits) —
+    integer bit sums, sign -> bit string; fully portable."""
+    return D.simhash(_t(spark, sf_dir, "documents"), bits=16).select(
+        "doc_id", "simhash"
+    )
+
+
+def _simhash_sql(bits: int = 16) -> str:
+    bit_exprs = ", ".join(
+        f"sum(CASE WHEN strpos('13579bdf', substring(hh, {i + 1}, 1)) > 0 "
+        f"THEN 1 ELSE -1 END) AS s{i}"
+        for i in range(bits)
+    )
+    sig = " || ".join(
+        f"CASE WHEN s{i} > 0 THEN '1' ELSE '0' END" for i in range(bits)
+    )
+    return f"""
+WITH toks AS (
+    SELECT doc_id, unnest(string_split(
+        trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS tok
+    FROM documents
+),
+h AS (SELECT doc_id, md5(tok) AS hh FROM toks),
+sums AS (SELECT doc_id, {bit_exprs} FROM h GROUP BY doc_id)
+SELECT doc_id, {sig} AS simhash FROM sums
+"""
+
+
+_ORACLE_KG["q_simhash"] = _simhash_sql()
+
+
+def q_lsh_pairs(spark, sf_dir):
+    """MinHash-LSH candidate pairs (dedup.lsh_candidate_pairs over the
+    md5-portable signature shape): docs sharing any band signature, as
+    distinct (id_a < id_b)."""
+    sh = D.shingles(_t(spark, sf_dir, "documents"), k=3)
+    sig = D.minhash_signatures(sh, num_hashes=4, compact=False)
+    return D.lsh_candidate_pairs(sig, num_hashes=4, bands=2)
+
+
+_ORACLE_KG["q_lsh_pairs"] = """
+WITH toks AS (
+    SELECT doc_id,
+           string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+    FROM documents
+),
+grams AS (
+    SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+    FROM toks, unnest(range(1, greatest(len(t) - 3, 0) + 2)) AS u(i)
+),
+sig AS (
+    SELECT doc_id,
+        min(md5('seed0:' || shingle)) AS mh0,
+        min(md5('seed1:' || shingle)) AS mh1,
+        min(md5('seed2:' || shingle)) AS mh2,
+        min(md5('seed3:' || shingle)) AS mh3
+    FROM grams GROUP BY doc_id
+),
+banded AS (
+    SELECT doc_id, 0 AS band, md5(mh0 || '|' || mh1) AS bsig FROM sig
+    UNION ALL
+    SELECT doc_id, 1 AS band, md5(mh2 || '|' || mh3) AS bsig FROM sig
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM banded a JOIN banded b ON a.band = b.band AND a.bsig = b.bsig
+WHERE a.doc_id < b.doc_id
+"""
+
+
 def q_embed_near_dup(spark, sf_dir):
     """Embedding-cosine near-dup pairs via the exact (oracle-comparable)
     path of dedup.embedding_near_dups; the LSH bucket path is tested for
@@ -1382,6 +1497,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_link_join": q_link_join,
         "q_search": q_search,
         "q_embed_near_dup": q_embed_near_dup,
+        "q_ngram_jaccard": q_ngram_jaccard,
+        "q_simhash": q_simhash,
+        "q_lsh_pairs": q_lsh_pairs,
     }
 
 
