@@ -41,6 +41,7 @@ def main() -> None:
         ("q_pivot_composition_raw", "full composition join tree with skew-aware split", True),
         ("q_gap_rule", "full inference lineage + gap-rule HOF aggregation", False),
         ("q_link_join", "skew-aware entity-link join (hot/cold split)", True),
+        ("q_search", "FTS search: broadcast queries x token index + per-query window", False),
         ("q_topk_mean_norm", "global top-k + broadcast scalar normalization", False),
         ("q_exact_dedup", "hash dedup (scan -> partial agg -> final agg)", False),
         ("q_ann_topk", "broadcast queries x scan + per-query top-k window", False),
