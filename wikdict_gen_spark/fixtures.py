@@ -387,7 +387,10 @@ def _chunk_pages(args: tuple) -> str:
             }
         ),
         part,
-        row_group_size=20000,
+        # small row groups = fine split granularity: the parquet scan can
+        # then parallelize to any core count without a widening shuffle
+        # (Spark splits scans at row-group boundaries)
+        row_group_size=5000,
     )
     return str(part)
 

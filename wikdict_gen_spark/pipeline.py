@@ -163,10 +163,14 @@ def run_pipeline(
 
     cores = spark.sparkContext.defaultParallelism
     pages = spark.read.parquet(pages_path)
-    # single-file local corpora arrive as one unsplittable row group; widen
-    # the scan so the extraction UDFs use every core (a real crawl is
-    # thousands of files and skips this shuffle)
-    if pages.rdd.getNumPartitions() < cores * 2:
+    # a pathological corpus layout (one unsplittable row group) would leave
+    # the extraction UDFs under-parallel; only then is a widening shuffle
+    # of the raw html worth paying.  A normally-laid-out corpus (many
+    # files / small row groups — a real crawl) already scans at >= cores
+    # partitions and skips this: the repartition moves every html byte
+    # through one full exchange, measured ~20% of pipeline wall when it
+    # fired on an already-parallel scan.
+    if pages.rdd.getNumPartitions() < cores:
         pages = pages.repartition(cores * 2)
     extracted = stage("extracted", lambda: extract_text(pages))
     if done[0]:
