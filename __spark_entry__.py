@@ -1452,6 +1452,45 @@ FROM ranked WHERE rn <= 100
 """
 
 
+# Iterative connected components vs an independent reachability oracle.
+# The derived graph is deliberately small (300 nodes) so DuckDB's
+# recursive-CTE transitive closure stays polynomial; the Spark side runs
+# the REAL large-star/small-star loop (driver iteration, per-round
+# localCheckpoint, checksum convergence) — the algorithms share nothing.
+_CC_EDGES_SQL = """
+    SELECT DISTINCT 'n' || (l_partkey % 300) AS u,
+           'n' || (l_orderkey % 300) AS v
+    FROM lineitem
+    WHERE l_linenumber = 1 AND l_partkey % 11 < 2
+      AND (l_partkey % 300) != (l_orderkey % 300)
+"""
+
+
+def q_connected_components(spark, sf_dir):
+    """S7 canonicalization: alternating star contraction to the component
+    minimum (canonicalize.connected_components) — every mentioned node
+    maps to the lexically smallest node of its component."""
+    from wikdict_gen_spark.operators import canonicalize as CC
+
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    edges = spark.sql(_CC_EDGES_SQL)
+    return CC.connected_components(edges)
+
+
+_ORACLE_KG["q_connected_components"] = f"""
+WITH RECURSIVE
+edges AS ({_CC_EDGES_SQL}),
+sym AS (SELECT u, v FROM edges UNION SELECT v AS u, u AS v FROM edges),
+nodes AS (SELECT DISTINCT u AS node FROM sym),
+reach(node, r) AS (
+    SELECT node, node AS r FROM nodes
+    UNION
+    SELECT s.u AS node, reach.r FROM sym s JOIN reach ON reach.node = s.v
+)
+SELECT node, min(r) AS canonical FROM reach GROUP BY node
+"""
+
+
 # --- driver contract -----------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -1500,6 +1539,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ngram_jaccard": q_ngram_jaccard,
         "q_simhash": q_simhash,
         "q_lsh_pairs": q_lsh_pairs,
+        "q_connected_components": q_connected_components,
     }
 
 
