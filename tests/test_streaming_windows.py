@@ -113,7 +113,13 @@ def test_streaming_exact_dedup_cross_batch(spark, tmp_path):
     )
     os.utime(src / "b2.parquet")
 
-    got = _run_stream(spark, src, streaming_exact_dedup, "dedup_stream")
+    # timeout_ms=None: availableNow replays must not arm the TTL clock (a
+    # pending processing-time timer keeps availableNow scheduling batches
+    # forever — see streaming_exact_dedup's docstring)
+    got = _run_stream(
+        spark, src, lambda s: streaming_exact_dedup(s, timeout_ms=None),
+        "dedup_stream",
+    )
     rows = got.collect()
     by_hash = {}
     for r in rows:
@@ -124,5 +130,77 @@ def test_streaming_exact_dedup_cross_batch(spark, tmp_path):
     # batch 2 even though only u_c arrived there
     assert {r["url"] for r in dup_rows} == {"u_a"}
     assert sorted(r["n_dups_total"] for r in dup_rows) == [2, 3]
+    # first_ts is the CANONICAL row's timestamp, held in state: batch 2's
+    # emission (triggered by u_c at +10min) still reports u_a's +2min
+    assert {r["first_ts"].replace(tzinfo=None) for r in dup_rows} == {
+        T0 + datetime.timedelta(minutes=2)
+    }
     uniq_rows = next(v for v in by_hash.values() if len(v) == 1)
     assert uniq_rows[0]["url"] == "u_x" and uniq_rows[0]["n_dups_total"] == 1
+
+
+def test_streaming_dedup_state_ttl(spark, tmp_path):
+    """A key silent past the processing-time timeout is evicted: its state
+    times out in a later trigger that carries no rows for it, and a
+    subsequent arrival of the same content restarts as canonical
+    (n_dups_total back to 1, new canonical url and first_ts).
+
+    A live processingTime trigger drives the wall clock (processing-time
+    timeouts never fire under availableNow — the pending timer keeps that
+    trigger scheduling batches forever, so TTL'd queries must run with a
+    real trigger; see streaming_exact_dedup's docstring)."""
+    src = tmp_path / "landing_ttl"
+    src.mkdir()
+    stream = (
+        spark.readStream.schema(schemas.PAGES)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    q = (
+        streaming_exact_dedup(stream, timeout_ms=2000)
+        .writeStream.format("memory")
+        .queryName("dedup_ttl")
+        .outputMode("update")
+        .trigger(processingTime="300 milliseconds")
+        .start()
+    )
+
+    def wait_for(pred, desc, deadline=90):
+        t0 = time.time()
+        while time.time() - t0 < deadline:
+            rows = spark.sql("SELECT * FROM dedup_ttl").collect()
+            if pred(rows):
+                return rows
+            time.sleep(0.3)
+        raise AssertionError(f"timed out waiting for {desc}")
+
+    try:
+        # b1: the key arrives once via u_a
+        pq.write_table(
+            _pages_table([("u_a", 1, "ttl content", "de")]), src / "b1.parquet"
+        )
+        rows = wait_for(lambda rs: any(r["url"] == "u_a" for r in rs), "u_a")
+        assert [r["n_dups_total"] for r in rows if r["url"] == "u_a"] == [1]
+
+        time.sleep(3)  # > the 2s timeout while the key sees no traffic
+
+        # b2 (unrelated key) guarantees a data-bearing trigger after the
+        # deadline: the idle key's hasTimedOut call drops its state there
+        pq.write_table(
+            _pages_table([("u_other", 2, "different", "en")]), src / "b2.parquet"
+        )
+        wait_for(lambda rs: any(r["url"] == "u_other" for r in rs), "u_other")
+
+        # b3: the original content re-arrives via u_z -> fresh state
+        pq.write_table(
+            _pages_table([("u_z", 3, "ttl content", "de")]), src / "b3.parquet"
+        )
+        rows = wait_for(lambda rs: any(r["url"] == "u_z" for r in rs), "u_z")
+    finally:
+        q.stop()
+    revived = [r for r in rows if r["url"] == "u_z"]
+    # state was dropped: the counter restarted and the canonical moved
+    assert revived[0]["n_dups_total"] == 1
+    assert revived[0]["first_ts"].replace(tzinfo=None) == T0 + datetime.timedelta(
+        minutes=3
+    )

@@ -10,8 +10,11 @@ Two engine capabilities the batch reference has no analog for:
   stateful operator (`applyInPandasWithState`): state is one counter per
   content hash, the first arrival is emitted as canonical, later
   arrivals only bump the duplicate count.  At 100 TB the state store
-  shards by the hash key across executors; pass a processing-time
-  timeout so abandoned keys age out instead of growing state forever.
+  shards by the hash key across executors; the processing-time timeout
+  (default 30 days) ages abandoned keys out instead of growing state
+  forever — a timed-out key is dropped and its content re-arrives as
+  canonical, the correct trade for a crawl stream where a hash silent
+  for a month is effectively a new document.
 """
 
 from __future__ import annotations
@@ -75,42 +78,74 @@ DEDUP_STATE_SCHEMA = StructType(
     [
         StructField("n_seen", LongType(), False),
         StructField("first_url", StringType()),
+        StructField("first_ts", TimestampType()),
     ]
 )
 
 
-def _dedup_fn(
-    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
-) -> Iterator[pd.DataFrame]:
-    """Per content-hash group: emit the canonical (first) row once, keep a
-    running duplicate counter in state.  Deterministic canonical choice:
-    the lexically smallest url of the first batch that sees the key."""
-    (n_seen, first_url) = state.get if state.exists else (0, None)
-    batch = pd.concat(list(pdfs), ignore_index=True)
-    batch = batch.sort_values("url", kind="mergesort")
-    new_total = n_seen + len(batch)
-    is_first = n_seen == 0
-    if is_first:
-        first_url = batch.iloc[0]["url"]
-    state.update((int(new_total), first_url))
-    out = pd.DataFrame(
-        {
-            "content_hash": [key[0]],
-            "url": [first_url],
-            "lang": [batch.iloc[0]["lang"]],
-            "first_ts": [batch.iloc[0]["warc_ts"]],
-            "n_dups_total": [int(new_total)],
-        }
-    )
-    yield out
+def _make_dedup_fn(timeout_ms: int | None):
+    """Build the stateful per-group function; `timeout_ms` arms the
+    processing-time clock on every update when set."""
+
+    def _dedup_fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        """Per content-hash group: emit the canonical (first) row once, keep
+        a running duplicate counter in state.  Deterministic canonical
+        choice: the lexically smallest url of the first batch that sees the
+        key; first_ts is that canonical row's warc_ts, held in state so
+        every later emission carries the true first sighting."""
+        if state.hasTimedOut:
+            # key went `timeout` without traffic: drop it.  Its next
+            # arrival is treated as a brand-new canonical document.
+            state.remove()
+            return
+        (n_seen, first_url, first_ts) = (
+            state.get if state.exists else (0, None, None)
+        )
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch.sort_values("url", kind="mergesort")
+        new_total = n_seen + len(batch)
+        if n_seen == 0:
+            first_url = batch.iloc[0]["url"]
+            first_ts = batch.iloc[0]["warc_ts"].to_pydatetime()
+        state.update((int(new_total), first_url, first_ts))
+        if timeout_ms is not None:
+            state.setTimeoutDuration(int(timeout_ms))
+        out = pd.DataFrame(
+            {
+                "content_hash": [key[0]],
+                "url": [first_url],
+                "lang": [batch.iloc[0]["lang"]],
+                "first_ts": [first_ts],
+                "n_dups_total": [int(new_total)],
+            }
+        )
+        yield out
+
+    return _dedup_fn
 
 
-def streaming_exact_dedup(pages_stream: DataFrame) -> DataFrame:
+def streaming_exact_dedup(
+    pages_stream: DataFrame, timeout_ms: int | None = 30 * 24 * 3600 * 1000
+) -> DataFrame:
     """Cross-batch exact dedup: one output row per content hash per batch
     it appears in, carrying the canonical url and the running duplicate
     count (n_dups_total).  Downstream keeps rows where n_dups_total equals
     the batch's first sighting or aggregates the counts — either way the
     canonical choice is stable across batches because it lives in state.
+
+    `timeout_ms` (default 30 days) bounds the state store: a content hash
+    with no arrivals for that processing-time duration is evicted (its
+    state would otherwise grow one entry per distinct hash, forever, on an
+    endless crawl stream).  Timeouts fire only in a data-bearing trigger,
+    so eviction is lazy but state stays bounded as long as the stream
+    flows.
+
+    MUST pass None under Trigger.AvailableNow: a pending processing-time
+    timer keeps that trigger scheduling micro-batches forever, so the
+    bounded replay never terminates.  None pins keys for the lifetime of
+    the query — correct for bounded replays, unbounded for live streams.
     """
     hashed = pages_stream.select(
         F.md5(
@@ -121,9 +156,13 @@ def streaming_exact_dedup(pages_stream: DataFrame) -> DataFrame:
         "warc_ts",
     )
     return hashed.groupBy("content_hash").applyInPandasWithState(
-        _dedup_fn,
+        _make_dedup_fn(timeout_ms),
         outputStructType=DEDUP_OUTPUT_SCHEMA,
         stateStructType=DEDUP_STATE_SCHEMA,
         outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.NoTimeout
+            if timeout_ms is None
+            else GroupStateTimeout.ProcessingTimeTimeout
+        ),
     )
