@@ -228,6 +228,35 @@ def test_entry_indentation_bytes(spark):
     )
 
 
+def test_full_file_byte_parity(tmp_path, spark):
+    """End-to-end byte parity of one complete small dictionary file against
+    the reference-template render: tests/data/tei_de_en_golden.tei was
+    produced by running the reference's write_tei_dict serialization steps
+    (template text extracted from /root/reference/src/tei.py:81-159, its
+    indent + tostring + dummy-strip pipeline, tei.py:385-444) over the
+    pinned Zeit entry.  Full header parity — respStmt, publisher,
+    sourceDesc, encodingDesc tagUsage inventory, revisionDesc — plus every
+    indentation quirk (re-split editionStmt, dropped comment, the blank
+    line the dummy strip leaves, the first-entry splice shape)."""
+    tg = spark.createDataFrame(
+        [("de", "en", "z-n", "Zeit", "time", None, None, 50.0, 0.5)], TG_SCHEMA
+    )
+    entry = spark.createDataFrame([("z-n", "noun", None, None)], ENTRY_SCHEMA)
+    rows = tei.tei_entry_rows(tg, entry, form=None, min_score=0.0)
+    counts = tei.write_tei(
+        tei.tei_entry_xml(rows), str(tmp_path), today="2026-08-16",
+        language_names={"de": "German", "en": "English"},
+    )
+    assert counts == {"de-en": 1}
+    got = (tmp_path / "small" / "deu-eng.tei").read_text()
+    import pathlib
+
+    golden = (
+        pathlib.Path(__file__).parent / "data" / "tei_de_en_golden.tei"
+    ).read_text()
+    assert got == golden
+
+
 def test_dict_status():
     assert tei.dict_status(10000) == "big enough to be useful"
     assert tei.dict_status(999) == "too small"

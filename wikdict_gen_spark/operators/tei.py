@@ -307,21 +307,27 @@ def tei_entry_xml(entry_rows: DataFrame) -> DataFrame:
 # document assembly
 # --------------------------------------------------------------------------
 
-# /root/reference/src/tei.py:81-159, constants inlined; {entries} is filled
-# from the sorted distributed body.
-TEI_HEADER = """<?xml version="1.0" encoding="UTF-8"?>
-<?xml-stylesheet type="text/css" href="freedict-dictionary.css"?>
-<?oxygen RNGSchema="freedict-P5.rng" type="xml"?>
-<!DOCTYPE TEI SYSTEM "freedict-P5.dtd">
+# The P5 template — the reference's output-format spec verbatim
+# (/root/reference/src/tei.py:81-159): full fileDesc (respStmt, publisher,
+# sourceDesc), encodingDesc with the tagUsage declarations ({pos_usage} is
+# the static pos_mapping inventory, ref tei.py:382-384), revisionDesc, and
+# the <wikdict:dummy /> namespace anchor the render strips afterwards.
+# {{entries}} survives the first .format and is the body splice point.
+TEI_TEMPLATE = """
 <TEI xmlns="http://www.tei-c.org/ns/1.0" xmlns:wikdict="http://www.wikdict.com/ns/1.0">
   <teiHeader xml:lang="en">
     <fileDesc>
       <titleStmt>
         <title>{from_name}-{to_name} FreeDict+WikDict dictionary</title>
+        <respStmt>
+          <resp>Maintainer</resp>
+          <name xml:id="karlb">Karl Bartel</name>
+        </respStmt>
       </titleStmt>
       <editionStmt><edition>{version}</edition></editionStmt>
       <extent>{headwords} headwords</extent>
       <publicationStmt>
+        <publisher>Karl Bartel</publisher>
         <availability status="free">
           <p>Licensed under the <ref target="https://creativecommons.org/licenses/by-sa/3.0/legalcode">Creative Commons Attribution-ShareAlike 3.0 Unported</ref> license</p>
         </availability>
@@ -330,17 +336,135 @@ TEI_HEADER = """<?xml version="1.0" encoding="UTF-8"?>
       <notesStmt>
         <note type="status">{status}</note>
       </notesStmt>
+      <sourceDesc>
+        <p>Automatic creation of this bilingual dictionary by <ref target="http://www.wikdict.com/">WikDict</ref>.</p>
+        <p>Base data from <ref target="https://www.wiktionary.org/">Wiktionary.org</ref> via <ref target="http://kaiko.getalp.org/about-dbnary/">DBnary</ref>.</p>
+      </sourceDesc>
     </fileDesc>
+    <encodingDesc>
+      <projectDesc>
+        <p>
+          This dictionary comes to you through nice people
+          making it available for free and for good. It is part of
+          the FreeDict project, http://www.freedict.org/. This
+          project aims to make available many translating
+          dictionaries for free. Your contributions are welcome!
+        </p>
+      </projectDesc>
+      <tagsDecl>
+        <!-- for each gi, its values are listed, with a pointer to the ontology interface -->
+        <namespace name="http://www.tei-c.org/ns/1.0" xml:base="../shared/">
+          <tagUsage gi="pos">
+            <list n="values" type="bulleted">
+              {pos_usage}
+            </list>
+          </tagUsage>
+          <tagUsage gi="gen">
+            <list>
+              <item ana="FreeDict_ontology.xml#f_gen_fem">fem</item>
+              <item ana="FreeDict_ontology.xml#f_gen_masc">masc</item>
+              <item ana="FreeDict_ontology.xml#f_gen_neut">neut</item>
+            </list>
+          </tagUsage>
+        </namespace>
+      </tagsDecl>
+    </encodingDesc>
+    <revisionDesc>
+      <change when="2018-09-12" who="#karlb">
+        Change numbering scheme from YYYY-MM-DD to YYYY.MM.DD
+      </change>
+      <change when="2018-05-15" who="#karlb">
+        Add links to sourceDesc
+      </change>
+      <change when="2017-12-15" who="#karlb">
+        Add changelog
+      </change>
+      <change when="2017-11-22" who="#karlb">
+        Use ref tag to encode license URL
+      </change>
+    </revisionDesc>
+    <wikdict:dummy />
   </teiHeader>
   <text>
-    <body xml:lang="{from_lang}">"""
-
-# entries carry their own '\n    ' tails, so the body closes flush after
-# the last tail (the reference's `<body ...>{entries}</body>` shape)
-TEI_FOOTER = """</body>
+    <body xml:lang="{from_lang}">
+      {{entries}}
+    </body>
   </text>
 </TEI>
 """
+
+# written verbatim before the rendered tree (ref tei.py:432-442 writes this
+# block stripped + '\n'; the tree's own single-quoted declaration follows —
+# a reference quirk kept byte-for-byte)
+TEI_FILE_DECLARATIONS = """<?xml version="1.0" encoding="UTF-8"?>
+<?xml-stylesheet type="text/css" href="freedict-dictionary.css"?>
+<?oxygen RNGSchema="freedict-P5.rng" type="xml"?>
+<!DOCTYPE TEI SYSTEM "freedict-P5.dtd">
+"""
+
+
+def _indent_tree(elem, level: int = 0) -> None:
+    """The reference's whitespace normalization (ref tei.py:25-39, the
+    classic ElementTree indent recipe): two spaces per level, filling only
+    empty/whitespace-only text and tails, so the template's significant
+    text (the {entries} splice line) survives untouched."""
+    pad = "\n" + level * "  "
+    if len(elem):
+        if not elem.text or not elem.text.strip():
+            elem.text = pad + "  "
+        if not elem.tail or not elem.tail.strip():
+            elem.tail = pad
+        child = None
+        for child in elem:
+            _indent_tree(child, level + 1)
+        if not child.tail or not child.tail.strip():
+            child.tail = pad
+    elif level and (not elem.tail or not elem.tail.strip()):
+        elem.tail = pad
+
+
+def render_pair_template(
+    from_lang: str,
+    from_name: str,
+    to_name: str,
+    headwords: int,
+    today: str,
+) -> tuple[str, str]:
+    """(header, footer) strings for one dictionary file.
+
+    Byte-parity with the reference's write_tei_dict (tei.py:385-444): fill
+    the template, round-trip it through ElementTree (parse -> indent ->
+    tostring(utf-8)) which yields the single-quoted second XML declaration
+    and canonical header indentation, strip the <wikdict:dummy /> namespace
+    anchor, and split at the {entries} placeholder the first .format left
+    behind.  Driver-side, once per pair — microseconds against a 100-TB
+    body, so the imperative ElementTree pass is free.
+    """
+    import xml.etree.ElementTree as ET
+
+    pos_usage = "".join(
+        f'<item ana="{anchor}">{text}</item>'
+        for text, anchor in POS_MAPPING.values()
+    )
+    ET.register_namespace("", "http://www.tei-c.org/ns/1.0")
+    ET.register_namespace("wikdict", "http://www.wikdict.com/ns/1.0")
+    tree = ET.XML(
+        TEI_TEMPLATE.format(
+            from_name=from_name,
+            to_name=to_name,
+            headwords=headwords,
+            from_lang=from_lang,
+            today=today,
+            version=today.replace("-", "."),
+            pos_usage=pos_usage,
+            status=dict_status(headwords),
+        )
+    )
+    _indent_tree(tree)
+    rendered = ET.tostring(tree, "utf-8").decode("utf-8")
+    rendered = rendered.replace("<wikdict:dummy />", "")
+    head, tail = rendered.split("{entries}")
+    return TEI_FILE_DECLARATIONS + head, tail
 
 
 def dict_status(headwords: int) -> str:
@@ -380,70 +504,90 @@ def write_tei(
     """
     from pathlib import Path
 
+    from pyspark import StorageLevel
+
     from wikdict_gen_spark import languages as langreg
 
     names = dict(language_names) if language_names is not None else dict(langreg.LANGUAGE_NAMES)
     codes3 = dict(language_codes3) if language_codes3 is not None else dict(langreg.LANGUAGE_CODES3)
 
-    counts: dict[str, int] = {
-        f"{r['from_lang']}-{r['to_lang']}": r["n"]
-        for r in entry_xml.groupBy("from_lang", "to_lang")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
-    }
-    Path(out_dir).mkdir(parents=True, exist_ok=True)
-    header_tmpl, footer = TEI_HEADER, TEI_FOOTER
-    threshold = int(small_threshold)
+    # one materialization serves both the count aggregate and the file
+    # fan-out (without it the full render plan executes twice)
+    entry_xml = entry_xml.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        counts: dict[str, int] = {
+            f"{r['from_lang']}-{r['to_lang']}": r["n"]
+            for r in entry_xml.groupBy("from_lang", "to_lang")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        Path(out_dir).mkdir(parents=True, exist_ok=True)
+        threshold = int(small_threshold)
+        # per-pair header/footer rendered driver-side (650 tiny strings);
+        # executors only ever stream entry bodies between them
+        frames: dict[str, tuple[str, str]] = {}
+        for pair_key, headwords in counts.items():
+            from_lang, to_lang = pair_key.split("-", 1)
+            frames[pair_key] = render_pair_template(
+                from_lang,
+                names.get(from_lang, from_lang),
+                names.get(to_lang, to_lang),
+                headwords,
+                today,
+            )
 
-    def write_runs(rows) -> None:
-        import os
-        from pathlib import Path as P
+        def write_runs(rows) -> None:
+            import os
+            from pathlib import Path as P
 
-        cur = None
-        f = None
-        tmp_path = final_path = None
-
-        def finish() -> None:
-            nonlocal f
-            if f is None:
-                return
-            f.write(footer)
-            f.close()
-            os.replace(tmp_path, final_path)
+            cur = None
             f = None
+            tmp_path = final_path = footer = None
 
-        for r in rows:
-            pair = (r["from_lang"], r["to_lang"])
-            if pair != cur:
+            def finish() -> None:
+                nonlocal f
+                if f is None:
+                    return
+                f.write(footer)
+                f.close()
+                os.replace(tmp_path, final_path)
+                f = None
+
+            try:
+                for r in rows:
+                    pair = (r["from_lang"], r["to_lang"])
+                    if pair != cur:
+                        finish()
+                        cur = pair
+                        from_lang, to_lang = pair
+                        key = f"{from_lang}-{to_lang}"
+                        headwords = counts[key]
+                        header, footer = frames[key]
+                        sub = P(out_dir) / ("small" if headwords < threshold else "")
+                        sub.mkdir(parents=True, exist_ok=True)
+                        fname = f"{codes3.get(from_lang, from_lang)}-{codes3.get(to_lang, to_lang)}.tei"
+                        final_path = str(sub / fname)
+                        tmp_path = final_path + f".tmp-{os.getpid()}"
+                        f = open(tmp_path, "w", encoding="utf-8")
+                        f.write(header)
+                    f.write(r["entry_xml"])
                 finish()
-                cur = pair
-                from_lang, to_lang = pair
-                headwords = counts[f"{from_lang}-{to_lang}"]
-                sub = P(out_dir) / ("small" if headwords < threshold else "")
-                sub.mkdir(parents=True, exist_ok=True)
-                fname = f"{codes3.get(from_lang, from_lang)}-{codes3.get(to_lang, to_lang)}.tei"
-                final_path = str(sub / fname)
-                tmp_path = final_path + f".tmp-{os.getpid()}"
-                f = open(tmp_path, "w", encoding="utf-8")
-                f.write(
-                    header_tmpl.format(
-                        from_name=names.get(from_lang, from_lang),
-                        to_name=names.get(to_lang, to_lang),
-                        version=today.replace("-", "."),
-                        headwords=headwords,
-                        today=today,
-                        status=dict_status(headwords),
-                        from_lang=from_lang,
-                    )
-                )
-            f.write(r["entry_xml"])
-        finish()
+            except BaseException:
+                # task died mid-file: close and remove the orphan tmp so a
+                # retry (or the user) never sees a half-written .tmp-<pid>
+                if f is not None:
+                    f.close()
+                    if tmp_path is not None and os.path.exists(tmp_path):
+                        os.unlink(tmp_path)
+                raise
 
-    (
-        entry_xml.repartition("from_lang", "to_lang")
-        .sortWithinPartitions("from_lang", "to_lang", "written_rep", "entry_xml")
-        .foreachPartition(write_runs)
-    )
+        (
+            entry_xml.repartition("from_lang", "to_lang")
+            .sortWithinPartitions("from_lang", "to_lang", "written_rep", "entry_xml")
+            .foreachPartition(write_runs)
+        )
+    finally:
+        entry_xml.unpersist()
     return counts
 
 
