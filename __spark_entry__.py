@@ -49,10 +49,23 @@ _CKPT_LEVEL = StorageLevel(True, True, False, False, 1)
 _MEMO: dict[tuple, DataFrame] = {}
 
 
+def clear_memo() -> None:
+    """Drop every memoized checkpoint reference.  Spark's ContextCleaner
+    unpersists checkpoint blocks once the last DataFrame reference is
+    gone, so releasing the dict entries releases executor storage."""
+    _MEMO.clear()
+
+
 def _memo(spark: SparkSession, sf_dir: str, key: str, build) -> DataFrame:
-    mk = (spark.sparkContext.applicationId, sf_dir, key)
+    app = spark.sparkContext.applicationId
+    mk = (app, sf_dir, key)
     df = _MEMO.get(mk)
     if df is None:
+        # moving to a different sf_dir in the same application evicts the
+        # previous dataset's checkpoints — queries iterate one dataset at
+        # a time, so stale entries would only pin dead executor storage
+        for stale in [m for m in _MEMO if m[0] == app and m[1] != sf_dir]:
+            del _MEMO[stale]
         df = build().localCheckpoint(eager=False, storageLevel=_CKPT_LEVEL)
         _MEMO[mk] = df
     return df
@@ -1452,6 +1465,164 @@ FROM ranked WHERE rn <= 100
 """
 
 
+# Anki export (ref anki_csv.sh): rel_importance values deliberately
+# collide (mod 97 over 2000 partkeys) so the written_rep tiebreak that
+# makes the LIMIT membership deterministic is itself under test.
+_ANKI_ST_SQL = """
+    SELECT lower(p_name) || '#' || p_partkey AS written_rep,
+           lower(p_brand) || ' | t' || p_partkey AS trans_list,
+           CAST(p_partkey % 150 AS DOUBLE) AS max_score,
+           (p_partkey % 97) / CAST(16 AS DOUBLE) AS rel_importance
+    FROM part
+"""
+
+
+def q_anki(spark, sf_dir):
+    """Anki CSV semantics (export.anki_export): fixed max_score >= 100
+    gate, rel_importance DESC top-k, ' | ' -> ', ' trans_list rewrite."""
+    _t(spark, sf_dir, "part").createOrReplaceTempView("part")
+    return E.anki_export(spark.sql(_ANKI_ST_SQL))
+
+
+_ORACLE_KG["q_anki"] = f"""
+WITH st AS ({_ANKI_ST_SQL})
+SELECT written_rep, replace(trans_list, ' | ', ', ') AS trans_list
+FROM st WHERE max_score >= 100
+ORDER BY rel_importance DESC, written_rep LIMIT 100
+"""
+
+
+# TEI phase-1 relational assembly (tei.tei_entry_rows): adaptive-gated
+# join + ordered nested senses + inflected-form lists.  The nested arrays
+# project to deterministic strings for the hash compare; the XML render
+# phase stays pytest-golden (tests/test_tei.py).  trans_list carries the
+# unique t<partkey> suffix so no group has sort-key ties (max_by would be
+# nondeterministic on ties).
+_TEI_TG_SQL = """
+    SELECT 'de' AS from_lang, 'en' AS to_lang,
+           'L' || (p_partkey % 80) AS lexentry,
+           'w' || (p_partkey % 50) AS written_rep,
+           lower(p_brand) || ' | t' || p_partkey AS trans_list,
+           CASE WHEN p_partkey % 5 = 0 THEN NULL
+                ELSE '0' || (p_partkey % 5) END AS min_sense_num,
+           CASE WHEN p_partkey % 7 = 0 THEN NULL ELSE lower(p_type) END AS sense_list,
+           CAST(p_partkey % 150 AS DOUBLE) AS score
+    FROM part
+"""
+
+_TEI_ENTRY_SQL = """
+    SELECT DISTINCT 'L' || (p_partkey % 80) AS lexentry,
+           CASE (p_partkey % 80) % 4 WHEN 0 THEN 'noun' WHEN 1 THEN 'verb'
+                WHEN 2 THEN 'adjective' ELSE NULL END AS part_of_speech,
+           CASE (p_partkey % 80) % 3 WHEN 0 THEN 'feminine'
+                WHEN 1 THEN 'masculine' ELSE NULL END AS gender,
+           CASE WHEN (p_partkey % 80) % 2 = 0 THEN NULL
+                ELSE 'pr' || (p_partkey % 80) || ' | ps' || (p_partkey % 80)
+           END AS pronun_str
+    FROM part
+"""
+
+_TEI_FORM_SQL = """
+    SELECT 'L' || (l_partkey % 80) AS lexentry,
+           'f' || (l_orderkey % 30) AS other_written,
+           CASE WHEN l_linenumber % 4 = 0 THEN NULL ELSE l_linenumber % 4 END AS rank
+    FROM lineitem
+"""
+
+
+def q_tei_entries(spark, sf_dir):
+    """S9 phase 1 (tei.tei_entry_rows): per-headword grouping with
+    deterministically ordered senses and pre-aggregated inflected forms,
+    projected to strings (the array/struct nesting itself is exercised;
+    only its repr is hashed)."""
+    from wikdict_gen_spark.operators import tei as TEI
+
+    for name in ("part", "lineitem"):
+        _t(spark, sf_dir, name).createOrReplaceTempView(name)
+    tg = spark.sql(_TEI_TG_SQL)
+    ent = (
+        spark.sql(_TEI_ENTRY_SQL)
+        .withColumn("pronun_list", F.split("pronun_str", r" \| "))
+        .drop("pronun_str")
+    )
+    form = spark.sql(_TEI_FORM_SQL)
+    rows = TEI.tei_entry_rows(tg, ent, form, min_score=75.0)
+    return rows.select(
+        "from_lang", "to_lang", "written_rep", "part_of_speech", "gender",
+        "pronun_str",
+        F.array_join(
+            F.transform(
+                "senses",
+                lambda x: F.concat_ws(
+                    "~",
+                    F.coalesce(x.sense_list, F.lit("<null>")),
+                    F.coalesce(x.trans_list, F.lit("<null>")),
+                ),
+            ),
+            " || ",
+        ).alias("senses_repr"),
+        F.coalesce(
+            F.array_join(
+                F.transform(
+                    "inflected_forms",
+                    lambda x: F.concat_ws(
+                        ":",
+                        x.other_written,
+                        F.coalesce(x.rank.cast("string"), F.lit("-")),
+                    ),
+                ),
+                " || ",
+            ),
+            F.lit(""),
+        ).alias("forms_repr"),
+    )
+
+
+_ORACLE_KG["q_tei_entries"] = f"""
+WITH tg AS ({_TEI_TG_SQL}),
+e AS ({_TEI_ENTRY_SQL}),
+f AS ({_TEI_FORM_SQL}),
+gated AS (SELECT * FROM tg WHERE score >= 75.0),
+joined AS (
+    SELECT g.*, e.part_of_speech, e.gender, e.pronun_str
+    FROM gated g JOIN e USING (lexentry)
+),
+grouped AS (
+    SELECT from_lang, to_lang, written_rep, part_of_speech, gender, pronun_str,
+        string_agg(
+            coalesce(sense_list, '<null>') || '~' || coalesce(trans_list, '<null>'),
+            ' || '
+            ORDER BY (min_sense_num IS NOT NULL), min_sense_num,
+                     coalesce(sense_list, ''), coalesce(trans_list, '')
+        ) AS senses_repr,
+        (array_agg(lexentry
+            ORDER BY (min_sense_num IS NOT NULL) DESC, min_sense_num DESC,
+                     coalesce(sense_list, '') DESC, coalesce(trans_list, '') DESC
+        ))[1] AS form_lexentry
+    FROM joined
+    GROUP BY 1, 2, 3, 4, 5, 6
+),
+best AS (
+    SELECT lexentry, other_written, min(rank) AS rank
+    FROM f WHERE other_written IS NOT NULL
+    GROUP BY 1, 2
+),
+fagg AS (
+    SELECT lexentry,
+        string_agg(
+            other_written || ':' || coalesce(CAST(rank AS VARCHAR), '-'),
+            ' || '
+            ORDER BY (rank IS NOT NULL), rank, other_written
+        ) AS forms_repr
+    FROM best GROUP BY 1
+)
+SELECT g.from_lang, g.to_lang, g.written_rep, g.part_of_speech, g.gender,
+       g.pronun_str, g.senses_repr,
+       coalesce(fa.forms_repr, '') AS forms_repr
+FROM grouped g LEFT JOIN fagg fa ON fa.lexentry = g.form_lexentry
+"""
+
+
 # Iterative connected components vs an independent reachability oracle.
 # The derived graph is deliberately small (300 nodes) so DuckDB's
 # recursive-CTE transitive closure stays polynomial; the Spark side runs
@@ -1535,6 +1706,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pair_stats": q_pair_stats,
         "q_link_join": q_link_join,
         "q_search": q_search,
+        "q_anki": q_anki,
+        "q_tei_entries": q_tei_entries,
         "q_embed_near_dup": q_embed_near_dup,
         "q_ngram_jaccard": q_ngram_jaccard,
         "q_simhash": q_simhash,

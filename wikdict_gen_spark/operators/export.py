@@ -66,6 +66,26 @@ def top_simple_translations(simple_translation: DataFrame,
     )
 
 
+def anki_export(simple_translation: DataFrame, k: int = 100) -> DataFrame:
+    """Anki deck export with the reference's exact semantics
+    (/root/reference/src/anki_csv.sh:1): fixed `max_score >= 100` gate
+    (never the adaptive one), top-k by `rel_importance DESC`, and the
+    ' | ' separators rewritten to ', ' in trans_list.  written_rep is the
+    deterministic tiebreak sqlite leaves unspecified.
+    """
+    return (
+        simple_translation.where(F.col("max_score") >= 100)
+        .orderBy(F.col("rel_importance").desc(), F.col("written_rep"))
+        .limit(k)
+        .select(
+            strip_control_chars(F.col("written_rep")).alias("written_rep"),
+            strip_control_chars(
+                F.replace(F.col("trans_list"), F.lit(" | "), F.lit(", "))
+            ).alias("trans_list"),
+        )
+    )
+
+
 def sitemap_entries(simple_translation: DataFrame, min_importance: float = 4.0) -> DataFrame:
     """Sitemap export: vocables above the importance floor."""
     return (
