@@ -1,11 +1,15 @@
 """Multimodal plumbing tests: schemas, mapInPandas batch shape, decoders.
 
 The image path decodes REAL PNG bytes end-to-end (pure-Python IHDR
-parse); audio/video use the deterministic stub decoder.
+parse) and the audio path REAL WAV bytes (RIFF chunk walk; the fixture
+bytes come from the independent stdlib `wave` writer); video uses the
+deterministic stub decoder.
 """
 
 import hashlib
+import io
 import struct
+import wave
 import zlib
 
 import pytest
@@ -38,12 +42,33 @@ PNG_64x48 = make_png(64, 48, b"1")
 PNG_128x96 = make_png(128, 96, b"2")
 
 
+def make_wav(sample_rate: int, channels: int, n_frames: int) -> bytes:
+    """Real WAV bytes via the stdlib wave writer (16-bit PCM) —
+    independent of the decoder under test."""
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(
+            b"".join(
+                struct.pack("<h", (i * 257) % 32768 - 16384) * channels
+                for i in range(n_frames)
+            )
+        )
+    return buf.getvalue()
+
+
+WAV_8K_MONO_500MS = make_wav(8000, 1, 4000)     # 4000 frames @ 8kHz = 500ms
+WAV_16K_STEREO_250MS = make_wav(16000, 2, 4000)  # 4000 frames @ 16kHz = 250ms
+
+
 @pytest.fixture(scope="module")
 def media(spark):
     rows = [
         (1, "image", PNG_64x48, "image/png", None, None, None),
         (2, "image", PNG_128x96, "image/png", None, None, None),
-        (3, "audio", b"audio-bytes", "audio/wav", None, None, 2500),
+        (3, "audio", WAV_8K_MONO_500MS, "audio/wav", None, None, 2500),
         (4, "video", b"video-bytes", "video/mp4", 640, 480, 3500),
     ]
     return spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
@@ -58,6 +83,28 @@ def test_extract_features_real_png_dims(spark, media):
     assert (out[2]["width"], out[2]["height"]) == (128, 96)
     # non-image kinds have no dims
     assert out[3]["width"] is None and out[4]["width"] is None
+
+
+def test_extract_features_real_wav(spark, media):
+    """Real WAV bytes -> real channel/rate/duration from the RIFF headers,
+    end-to-end through Arrow + mapInPandas."""
+    out = {r["media_id"]: r for r in multimodal.extract_features(media).collect()}
+    assert out[3]["channels"] == 1
+    assert out[3]["sample_rate"] == 8000
+    assert out[3]["duration_ms"] == 500
+    # non-audio kinds carry no audio metadata
+    assert out[1]["sample_rate"] is None and out[4]["duration_ms"] is None
+
+
+def test_wav_decode_variants_and_garbage():
+    f = multimodal.wav_decode(WAV_16K_STEREO_250MS)
+    assert (f["channels"], f["sample_rate"], f["duration_ms"]) == (2, 16000, 250)
+    with pytest.raises(ValueError, match="RIFF"):
+        multimodal.wav_decode(b"not-audio-bytes-at-all")
+    with pytest.raises(ValueError, match="truncated"):
+        multimodal.wav_decode(WAV_8K_MONO_500MS[:100])
+    with pytest.raises(ValueError, match="NULL"):
+        multimodal.wav_decode(None)
 
 
 def test_extract_features_deterministic(spark, media):

@@ -3,9 +3,10 @@
 The Spark-side plumbing — schemas, partitioning, Arrow batch shapes,
 mapInPandas signatures — is real and tested.  The image decoder is a real
 pure-Python PNG header parse (signature + CRC-checked IHDR -> width/
-height); audio/video remain deterministic stubs behind DECODERS (the
-sandbox has no ffmpeg/torchaudio).  A deployment registers richer
-decoders in place:
+height) and the audio decoder a real RIFF/WAVE chunk walk (fmt ->
+channels/sample_rate, data size -> duration_ms); only video remains a
+deterministic stub behind DECODERS (the sandbox has no ffmpeg).  A
+deployment registers richer decoders in place:
 
     multimodal.DECODERS["image"] = my_pil_decoder
 
@@ -54,6 +55,9 @@ FEATURE_SCHEMA = StructType(
         StructField("embedding", ArrayType(FloatType())),
         StructField("width", IntegerType()),
         StructField("height", IntegerType()),
+        StructField("channels", IntegerType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("duration_ms", IntegerType()),
     ]
 )
 
@@ -107,9 +111,51 @@ def png_decode(payload: bytes) -> dict:
     return feats
 
 
+def wav_decode(payload: bytes) -> dict:
+    """Real audio decoder: pure-Python RIFF/WAVE chunk walk (the PNG
+    precedent — header-level features need no codec library).  Validates
+    the RIFF/WAVE container, reads the fmt chunk's channel count, sample
+    rate and byte rate, and derives duration_ms from the data chunk size.
+    Malformed payloads raise — corrupt blobs must fail loudly.  Sample-
+    level features (spectrograms, audio embeddings) still need a real
+    codec registered in its place.
+    """
+    if payload is None:
+        raise ValueError("cannot decode NULL payload")
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV: bad RIFF/WAVE header")
+    pos, fmt, data_size = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        body = payload[pos + 8 : pos + 8 + size]
+        if len(body) < size:
+            raise ValueError("not a WAV: truncated chunk")
+        if cid == b"fmt ":
+            if size < 16:
+                raise ValueError("not a WAV: fmt chunk shorter than 16 bytes")
+            fmt = {
+                "channels": int.from_bytes(body[2:4], "little"),
+                "sample_rate": int.from_bytes(body[4:8], "little"),
+                "byte_rate": int.from_bytes(body[8:12], "little"),
+            }
+        elif cid == b"data":
+            data_size = size
+        pos += 8 + size + (size & 1)  # RIFF chunks are word-aligned
+    if fmt is None or data_size is None:
+        raise ValueError("not a WAV: missing fmt or data chunk")
+    if 0 in (fmt["channels"], fmt["sample_rate"], fmt["byte_rate"]):
+        raise ValueError("WAV fmt has a zero field")
+    feats = _fake_decode(payload)
+    feats["channels"] = fmt["channels"]
+    feats["sample_rate"] = fmt["sample_rate"]
+    feats["duration_ms"] = round(data_size * 1000 / fmt["byte_rate"])
+    return feats
+
+
 DECODERS: dict[str, Callable[[bytes], dict]] = {
     "image": png_decode,
-    "audio": _fake_decode,
+    "audio": wav_decode,
     "video": _fake_decode,
 }
 
@@ -147,6 +193,15 @@ def extract_features(media: DataFrame, batch_size: int = 256) -> DataFrame:
                     ),
                     "height": pd.array(
                         [f.get("height") for f in feats], dtype="Int32"
+                    ),
+                    "channels": pd.array(
+                        [f.get("channels") for f in feats], dtype="Int32"
+                    ),
+                    "sample_rate": pd.array(
+                        [f.get("sample_rate") for f in feats], dtype="Int32"
+                    ),
+                    "duration_ms": pd.array(
+                        [f.get("duration_ms") for f in feats], dtype="Int32"
                     ),
                 }
             )
