@@ -59,6 +59,11 @@ def minhash_signatures(sh: DataFrame, id_col: str = "doc_id",
     numeric min), the oracle-comparison shape (q_minhash_signature pins
     it explicitly).  Same algorithm, same downstream banding contract.
     Output: (id, minhash array of length num_hashes).
+
+    BREAKING CHANGE NOTE: the default flipped to compact=True (round 3),
+    changing the default output type array<string> -> array<bigint>.
+    Signatures are NOT comparable across the two shapes — any store of
+    md5-shape signatures must be re-derived or read with compact=False.
     """
     if compact:
         hashed = sh.select(

@@ -170,7 +170,10 @@ def run_pipeline(
     # partitions and skips this: the repartition moves every html byte
     # through one full exchange, measured ~20% of pipeline wall when it
     # fired on an already-parallel scan.
-    if pages.rdd.getNumPartitions() < cores:
+    # cheap file-count short-circuit first: >= cores files can never be
+    # under-parallel, so the common path skips the rdd partition probe
+    # (which instantiates the Python RDD conversion just to read a number)
+    if len(pages.inputFiles()) < cores and pages.rdd.getNumPartitions() < cores:
         pages = pages.repartition(cores * 2)
     extracted = stage("extracted", lambda: extract_text(pages))
     if done[0]:
