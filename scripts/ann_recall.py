@@ -7,8 +7,10 @@ the corpus real cluster structure so "nearest neighbor" is meaningful
 uninformative).  Queries are further jittered copies NOT in the corpus.
 
 Reports recall@5 and the mean candidate count per query (the cost knob)
-for n_probes in {1, 2, 4} at n_planes=8, writes ANN_RECALL.json (picked
-up by bench.py's BENCH.md writer) and prints a markdown table.
+for LSH at n_probes in {1, 2, 4} (n_planes=8) AND for IVF at the same
+probe counts (n_centroids=64), writes ANN_RECALL.json (picked up by
+bench.py's BENCH.md writer) and prints a markdown table.  The two
+methods are directly comparable: recall per candidate scanned.
 
 Usage: python scripts/ann_recall.py [sf_dir] [expand] [n_queries]
 """
@@ -29,6 +31,7 @@ from wikdict_gen_spark.session import get_spark  # noqa: E402
 DIM = 64
 K = 5
 N_PLANES = 8
+N_CENTROIDS = 64
 
 
 def jittered(base, salt: str, scale: float):
@@ -105,6 +108,7 @@ def main() -> None:
         ).collect()[0]
         rows.append(
             {
+                "method": "lsh",
                 "n_planes": N_PLANES,
                 "n_probes": n_probes,
                 "recall_at_5": round(recall, 4),
@@ -112,7 +116,35 @@ def main() -> None:
                 "n_buckets": stats["n_buckets"],
             }
         )
-        print(f"n_probes={n_probes}: recall@5={recall:.3f}")
+        print(f"lsh n_probes={n_probes}: recall@5={recall:.3f}")
+
+    # IVF at matching probe counts: one trained quantizer reused across
+    # probe settings (the production shape)
+    cents = S.train_ivf_centroids(corpus, n_centroids=N_CENTROIDS)
+    cell_sizes = (
+        S._assign_cells(corpus, cents, "embedding", n_probes=1)
+        .withColumn("__cell", F.element_at("__cell", 1))
+        .groupBy("__cell")
+        .count()
+    )
+    cstats = cell_sizes.agg(
+        F.count(F.lit(1)).alias("n_cells"), F.avg("count").alias("avg_cell")
+    ).collect()[0]
+    for n_probes in (1, 2, 4):
+        approx = S.ivf_topk(corpus, queries, centroids=cents, n_probes=n_probes, k=K)
+        hit = exact.join(approx.select("query_id", "vec_id"), ["query_id", "vec_id"])
+        recall = hit.count() / n_exact
+        rows.append(
+            {
+                "method": "ivf",
+                "n_centroids": N_CENTROIDS,
+                "n_probes": n_probes,
+                "recall_at_5": round(recall, 4),
+                "avg_candidates_per_query": round(cstats["avg_cell"] * n_probes, 1),
+                "n_buckets": cstats["n_cells"],
+            }
+        )
+        print(f"ivf n_probes={n_probes}: recall@5={recall:.3f}")
 
     report = {
         "corpus_vectors": n_corpus,

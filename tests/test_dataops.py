@@ -152,6 +152,76 @@ class TestSimilarity:
         # every query answered at probe 1 is still answered at probe 4
         assert set(r1) <= set(r4)
 
+    def test_ivf_topk_self_and_recall(self, spark):
+        """IVF: a vector queried against its own table always finds itself
+        (it probes its own cell first), and probing more cells never
+        loses queries while recovering most exact top-1s on a clustered
+        corpus."""
+        import random
+
+        rng = random.Random(23)
+        # clustered corpus: 8 centers x 30 jittered members
+        centers = [[rng.uniform(-1, 1) for _ in range(8)] for _ in range(8)]
+        rows = [
+            (c * 30 + j, [x + rng.uniform(-0.15, 0.15) for x in centers[c]])
+            for c in range(8)
+            for j in range(30)
+        ]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        queries = spark.createDataFrame(
+            rows[:5], "query_id long, embedding array<double>"
+        )
+        out = similarity.ivf_topk(emb, queries, n_centroids=8, n_probes=1, k=3)
+        top1 = {
+            r["query_id"]: r["vec_id"]
+            for r in out.where(F.col("rank") == 1).collect()
+        }
+        for q in range(5):
+            assert top1[q] == q  # self is in the probed cell
+
+        # held-out perturbed queries: exact-top1 recall at 4 probes on a
+        # clustered corpus must be high, and probe sets must be monotone
+        qrows = [
+            (i, [x + rng.uniform(-0.05, 0.05) for x in rows[i][1]])
+            for i in range(0, 240, 8)
+        ]
+        held = spark.createDataFrame(qrows, "query_id long, embedding array<double>")
+        exact = {
+            r["query_id"]: r["vec_id"]
+            for r in similarity.brute_force_topk(emb, held, k=1)
+            .where(F.col("rank") == 1).collect()
+        }
+        cents = similarity.train_ivf_centroids(emb, n_centroids=8)
+
+        def run(n_probes):
+            return {
+                r["query_id"]: r["vec_id"]
+                for r in similarity.ivf_topk(
+                    emb, held, centroids=cents, n_probes=n_probes, k=1
+                ).where(F.col("rank") == 1).collect()
+            }
+
+        r1, r4 = run(1), run(4)
+        recall1 = sum(r1.get(q) == v for q, v in exact.items())
+        recall4 = sum(r4.get(q) == v for q, v in exact.items())
+        assert recall4 >= recall1
+        assert recall4 >= int(0.8 * len(exact))
+        assert set(r1) <= set(r4)
+
+    def test_ivf_centroids_deterministic(self, spark):
+        import random
+
+        import numpy as np
+
+        rng = random.Random(5)
+        rows = [(i, [rng.uniform(-1, 1) for _ in range(6)]) for i in range(100)]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        c1 = similarity.train_ivf_centroids(emb, n_centroids=4)
+        c2 = similarity.train_ivf_centroids(emb, n_centroids=4)
+        assert np.array_equal(c1, c2)
+        # unit rows (spherical k-means)
+        assert np.allclose(np.linalg.norm(c1, axis=1), 1.0)
+
 
 class TestTextStats:
     def test_token_count(self, docs):
