@@ -582,7 +582,12 @@ def write_tei(
                 raise
 
         (
-            entry_xml.repartition("from_lang", "to_lang")
+            # one partition per pair (not the default shuffle partition
+            # count): at the full 650-pair fan-out, hash-packing several
+            # pairs into one task serializes them behind each other, so the
+            # straggler bound becomes the largest single pair — the
+            # one-file-per-pair contract's irreducible unit of work
+            entry_xml.repartition(max(len(counts), 1), "from_lang", "to_lang")
             .sortWithinPartitions("from_lang", "to_lang", "written_rep", "entry_xml")
             .foreachPartition(write_runs)
         )
