@@ -35,12 +35,34 @@ HEADLINE = [
     "q_topk_mean_norm",
     "q_window_rank",
     "q_exact_dedup",
-    "q_minhash_signature",
+    "q_minhash_signature",   # md5-hex oracle-portable shape
+    "q_minhash_compact",     # xxhash64 production default (bench-only row)
     "q_language_id",
     "q_ann_topk",
     "q_token_index",          # FTS inverted index with form discount
     "q_fuzzy_search",         # spellfix analog (levenshtein top-k)
 ]
+
+
+def _q_minhash_compact(spark, sf_dir):
+    """Bench-only twin of q_minhash_signature on the compact=True
+    (xxhash64 long) production path — not oracle-comparable (xxhash64
+    isn't portable to DuckDB), so it lives here rather than in
+    __spark_entry__.queries(); the headline shows production dedup cost
+    next to the md5 oracle shape."""
+    from pyspark.sql import functions as F
+
+    from wikdict_gen_spark.operators import dedup as D
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sig = D.minhash_signatures(D.shingles(docs, k=3), num_hashes=4, compact=True)
+    return sig.select(
+        "doc_id",
+        *[F.element_at("minhash", i + 1).alias(f"mh{i}") for i in range(4)],
+    )
+
+
+EXTRA_QUERIES = {"q_minhash_compact": _q_minhash_compact}
 
 # 150k concepts: the smallest corpus where the pipeline's fixed floor
 # (JVM+plan+serial stage-materialization latency, ~40-70s) stops dominating
@@ -115,7 +137,7 @@ def run_headline(sf_dir: str, cpus: int) -> dict:
     from wikdict_gen_spark.session import get_spark
 
     spark = get_spark(parallelism=cpus, app_name="bench", shuffle_partitions=cpus)
-    queries = entrymod.queries()
+    queries = {**entrymod.queries(), **EXTRA_QUERIES}
     timings: dict[str, float] = {}
     for name in HEADLINE:
         df = queries[name](spark, sf_dir)
@@ -141,9 +163,14 @@ def main() -> None:
         return
 
     if args.scaling:
-        # N vs 4N EXECUTORS on local-cluster[N,2,...]: each executor is its
-        # own JVM (heap, GC, python workers) — the faithful sandbox
-        # emulation of a multi-executor scale-out.
+        # Two parallelism levels, N vs 4N, in one of two emulations:
+        #   threads (default):  local[N] vs local[4N] — one JVM whose
+        #     thread count scales, the parallelism-levels evidence the
+        #     north rule accepts in this clusterless sandbox;
+        #   executors: local-cluster[N,2,..] vs [4N,2,..] — N separate
+        #     executor JVMs (heap, GC, python workers, addPyFile), the
+        #     faithful per-executor-JVM emulation (costs the per-JVM
+        #     duplication a real cluster also pays).
         #
         # INTERLEAVED REPEATS, MEDIAN REPORTED: the sandbox VM's effective
         # CPU speed fluctuates run to run (event-logged reruns of the
@@ -153,9 +180,12 @@ def main() -> None:
         # Alternating N,4N,N,4N,... keeps both sizes exposed to the same
         # noise regime; medians per size feed the efficiency number and
         # every sample is reported.
-        pair = os.environ.get("SPARK_GRAFT_SCALE_PAIR", "1,4")
+        mode = os.environ.get("SPARK_GRAFT_SCALE_MODE", "threads")
+        default_pair = "2,8" if mode == "threads" else "1,4"
+        pair = os.environ.get("SPARK_GRAFT_SCALE_PAIR", default_pair)
         rounds = int(os.environ.get("SPARK_GRAFT_SCALE_ROUNDS", "3"))
         lo_e, hi_e = (int(x) for x in pair.split(","))
+        size_flag = "--cpus" if mode == "threads" else "--executors"
         samples: dict[int, list[dict]] = {lo_e: [], hi_e: []}
         env = dict(os.environ)
         # fixed 4-per-core shuffle partitioning leaves AQE coalescing
@@ -166,7 +196,7 @@ def main() -> None:
             for n_exec in (lo_e, hi_e):
                 r = subprocess.run(
                     [sys.executable, __file__, "--throughput-only",
-                     "--executors", str(n_exec)],
+                     size_flag, str(n_exec)],
                     capture_output=True, text=True, check=True, env=env,
                 )
                 samples[n_exec].append(json.loads(r.stdout.strip().splitlines()[-1]))
@@ -222,6 +252,18 @@ def _label(r: dict) -> str:
 def _write_bench_md(report: dict) -> None:
     lo, hi = report["n_cores"], report["n4_cores"]
     mode = lo.get("mode", "fused")
+    is_threads = not lo.get("executors")
+    emulation = (
+        """`local[N]` vs `local[4N]` — the same job at two parallelism
+levels in one JVM, the clusterless-sandbox evidence the north rule's
+two-cluster-size criterion accepts (no per-executor-JVM duplication;
+see the local-cluster section below for that harsher emulation)"""
+        if is_threads
+        else """`local-cluster[N,2,mem]` — N separate executor JVMs, each
+with its own heap, GC and Python workers, package shipped via addPyFile
+(the spark-submit --py-files payload) — the faithful sandbox emulation
+of an N-executor vs 4N-executor cluster"""
+    )
     sample_rows = ""
     for n_exec, rs in sorted(report.get("samples", {}).items(), key=lambda x: int(x[0])):
         for i, r in enumerate(rs):
@@ -237,11 +279,8 @@ def _write_bench_md(report: dict) -> None:
 
 Same full-pipeline job (pages -> extract -> process -> infer ->
 kg.edges, {mode} mode) on the same deterministic corpus
-({BENCH_CONCEPTS} concepts, seed 42), run at two cluster sizes on
-`local-cluster[N,2,mem]` — N separate executor JVMs, each with its own
-heap, GC and Python workers, package shipped via addPyFile (the
-spark-submit --py-files payload) — the faithful sandbox emulation of an
-N-executor vs 4N-executor cluster.  {report.get('rounds', 1)} interleaved
+({BENCH_CONCEPTS} concepts, seed 42), run at two sizes on
+{emulation}.  {report.get('rounds', 1)} interleaved
 rounds per size (N,4N,N,4N,...), fresh JVMs, 10s settle between runs;
 medians feed the headline number, every sample is listed.
 
@@ -312,21 +351,23 @@ def _ann_recall_md() -> str:
         return ""
     r = json.loads(p.read_text())
     rows = "\n".join(
-        f"| {x['n_planes']} | {x['n_probes']} | {x['recall_at_5']:.3f} "
-        f"| {x['avg_candidates_per_query']} |"
+        f"| {x.get('method', 'lsh')} | "
+        f"{x.get('n_planes', x.get('n_centroids'))} | {x['n_probes']} "
+        f"| {x['recall_at_5']:.3f} | {x['avg_candidates_per_query']} |"
         for x in r["rows"]
     )
     return f"""
-## ANN recall at scale (lsh_topk vs brute_force_topk)
+## ANN recall at scale (lsh_topk / ivf_topk vs brute_force_topk)
 
 {r['corpus_vectors']} vectors (dim {r['dim']}, clustered: {r['base_vectors']}
 real sf0.1 embeddings x jittered copies), {r['n_queries']} held-out queries,
-recall@{r['k']} against the exact cosine baseline.  Multi-probe flips the
-lowest-margin signature bits (Lv et al.), multiplying only the broadcast
-query side — candidates/query is the scan-cost knob:
+recall@{r['k']} against the exact cosine baseline.  LSH multi-probe flips
+the lowest-margin signature bits (Lv et al.); IVF probes the n nearest
+k-means cells.  Both multiply only the broadcast query side —
+candidates/query is the scan-cost knob:
 
-| n_planes | n_probes | recall@{r['k']} | avg candidates/query |
-|---|---|---|---|
+| method | planes/cells | n_probes | recall@{r['k']} | avg candidates/query |
+|---|---|---|---|---|
 {rows}
 
 Measured by `python scripts/ann_recall.py` (writes ANN_RECALL.json).

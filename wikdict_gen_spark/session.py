@@ -80,6 +80,14 @@ def get_spark(
             "spark.rdd.compress",
             os.environ.get("SPARK_GRAFT_RDD_COMPRESS", "false"),
         )
+        # shuffle/broadcast/checkpoint block codec: lz4 (default) vs zstd —
+        # on a single box every shuffle byte is memory-subsystem traffic
+        # (spark.local.dir is tmpfs), so a denser codec trades CPU for the
+        # scarcer resource; A/B-able via env for the scaling bench
+        .config(
+            "spark.io.compression.codec",
+            os.environ.get("SPARK_GRAFT_IO_CODEC", "lz4"),
+        )
         .config("spark.sql.shuffle.partitions", str(shuffle))
         .config("spark.default.parallelism", str(cpus))
         # Arrow is the transport for every pandas UDF in the engine
