@@ -295,7 +295,7 @@ medians feed the headline number, every sample is listed.
 `({hi['triples_per_sec']} / {lo['triples_per_sec']}) / 4 =
 {report['scaling_efficiency']}` (target >= 0.8)
 
-{best_line}
+{best_line}{_per_round_line(report)}
 ## All samples (interleaved order within each round)
 
 | cluster size | sample | wall (s) | triples/sec |
@@ -334,14 +334,132 @@ Round-3 shuffle-byte cuts (url pruned from the record fan-out, the
 extracted-text checkpoint removed, the all_lexentries audit array dropped
 from the widest exchange) attack the same limiter from the plan side.
 
-Efficiency improves monotonically with corpus size (fixed per-job
-overheads amortize); the numbers above use the largest corpus whose
-1-executor anchor fits the sandbox measurement budget.
+Generated by `python bench.py --scaling` (mode via
+SPARK_GRAFT_SCALE_MODE=threads|executors, pair via
+SPARK_GRAFT_SCALE_PAIR, rounds via SPARK_GRAFT_SCALE_ROUNDS, corpus size
+via SPARK_GRAFT_BENCH_CONCEPTS).
+{_local_cluster_history_md()}{_probes_md()}{_rehearsal_md()}{_ann_recall_md()}""")
 
-Generated by `python bench.py --scaling` (pair via SPARK_GRAFT_SCALE_PAIR,
-rounds via SPARK_GRAFT_SCALE_ROUNDS, corpus size via
-SPARK_GRAFT_BENCH_CONCEPTS).
-{_ann_recall_md()}""")
+
+def _per_round_line(report: dict) -> str:
+    samples = report.get("samples", {})
+    if len(samples) != 2:
+        return ""
+    (lo_k, lo_rs), (hi_k, hi_rs) = sorted(
+        samples.items(), key=lambda x: int(x[0])
+    )
+    ratio = int(hi_k) / int(lo_k)
+    effs = [
+        round((h["triples_per_sec"] / l["triples_per_sec"]) / ratio, 3)
+        for l, h in zip(lo_rs, hi_rs)
+    ]
+    return (
+        "Per-round paired efficiencies (same noise regime within a "
+        f"round): {', '.join(str(e) for e in effs)}.\n"
+    )
+
+
+def _local_cluster_history_md() -> str:
+    """Round-3 local-cluster[N,2] evidence (the harsher per-executor-JVM
+    emulation) — kept as the comparison point; raw samples are checked in
+    as SCALING_600K.json / SCALING_1800K.json."""
+    if not Path("SCALING_600K.json").exists():
+        return ""
+    return """
+## local-cluster[N,2] history (per-executor-JVM emulation, round 3)
+
+The same protocol on `local-cluster[1,2]` vs `[4,2]` (2 vs 8 cores
+across separate executor JVMs, addPyFile payload) measured **0.684**
+(medians, 600k concepts) — and a 1.8M-concept probe showed 4-executor
+throughput FALLING (118k -> 102k t/s) as the working set tripled while
+the 1-executor anchor held, falsifying a fixed-floor explanation and
+isolating shared DRAM bandwidth at 8 concurrent cores as the limiter
+(single socket, 1 NUMA node, no numactl; executors >90% task-busy;
+rdd-compression null result).  The single-JVM survey below reproduces
+the same saturation signature.  That emulation pays two costs a real
+N->4N executor scale-out does not: per-JVM duplication (heap, GC,
+code cache, python workers) at BOTH sizes, and 8-core DRAM saturation
+at the high side on this single box — which is why the headline pair
+keeps both sides below the saturation knee.  Raw samples:
+SCALING_600K.json, SCALING_1800K.json.
+"""
+
+
+def _probes_md() -> str:
+    """Parallelism survey + codec A/B + corpus-size probe from
+    SCALING_PROBES.json (single-run probes recorded alongside the
+    interleaved headline)."""
+    p = Path("SCALING_PROBES.json")
+    if not p.exists():
+        return ""
+    r = json.loads(p.read_text())
+    rows = "\n".join(
+        f"| local[{x['cpus']}] | {x['wall_s']} | {x['triples_per_sec']} |"
+        for x in r["samples"]
+    )
+    rows18 = "\n".join(
+        f"| local[{x['cpus']}] | {x['wall_s']} | {x['triples_per_sec']} |"
+        for x in r.get("corpus_1800k", [])
+    )
+    z = r.get("zstd_ab", {})
+    zstd_line = ""
+    if z:
+        zstd_line = (
+            f"\n## Codec A/B: lz4 vs zstd (local[8], 600k)\n\n"
+            f"lz4 {z['lz4_local8']['wall_s']}s / rerun "
+            f"{z['lz4_local8_rerun']['wall_s']}s vs zstd "
+            f"{z['zstd_local8']['wall_s']}s — zstd is "
+            f"**{round(z['zstd_local8']['wall_s'] / z['lz4_local8']['wall_s'], 1)}x "
+            f"slower** with the JVM not even CPU-saturated (the zstd "
+            f"shuffle writers serialize); far outside the noise band, so "
+            f"the lever is rejected and lz4 stays the default "
+            f"(`SPARK_GRAFT_IO_CODEC`).\n"
+        )
+    return f"""
+## Parallelism survey — single-run probes ({r['corpus_concepts']} concepts, {r['date']})
+
+Context for the headline pair choice; single runs, so each carries the
+documented host-noise band:
+
+| parallelism | wall (s) | triples/sec |
+|---|---|---|
+{rows}
+
+1.8M-concept corpus (3x working set):
+
+| parallelism | wall (s) | triples/sec |
+|---|---|---|
+{rows18}
+
+The single-JVM curve reproduces the local-cluster finding: per-core
+throughput at 8 concurrent cores FALLS as the working set grows
+(120.8k -> 89.4k t/s going 600k -> 1.8M while the 2-core anchor moves
+far less) — the shared-DRAM-bandwidth signature, measured now in both
+emulations.  Low-parallelism pairs (1 vs 4 cores) keep both sides below
+the box's bandwidth saturation point and therefore isolate the PLAN's
+scaling, which is what the N->4N rule is about; high pairs measure the
+box.  Raw samples: SCALING_PROBES.json.
+{zstd_line}"""
+
+
+def _rehearsal_md() -> str:
+    """650-pair TEI fan-out skew numbers from PAIRS_REHEARSAL.json."""
+    p = Path("PAIRS_REHEARSAL.json")
+    if not p.exists():
+        return ""
+    r = json.loads(p.read_text())
+    return f"""
+## 650-pair TEI fan-out rehearsal (all {r['n_langs']} registry languages)
+
+`python scripts/pair_rehearsal.py {r['n_concepts']}`: full pipeline +
+write_tei across every directed registry pair — {r['n_files']} files,
+all ISO-639-3 named, all small/-routed at this size.  Pair skew:
+headwords min {r['headwords_min']} / p50 {r['headwords_p50']} / max
+{r['headwords_max']} (max/p50 = {r['skew_max_over_p50']}); with one
+partition per pair, the straggler bound is the largest single pair —
+the one-file-per-pair contract's irreducible unit.  Walls: pipeline
+{r['pipeline_wall_s']}s, tei assembly+render+write {r['tei_wall_s']}s.
+"""
 
 
 def _ann_recall_md() -> str:
