@@ -938,7 +938,24 @@ def q_ann_topk(spark, sf_dir):
     return S.brute_force_topk(emb, queries, k=5).select("query_id", "vec_id", "rank")
 
 
-_ORACLE_KG["q_ann_topk"] = """
+def q_ivf_topk(spark, sf_dir):
+    """IVF ANN with exhaustive probing (n_probes = n_centroids): every
+    cell is scanned, so the result must equal the exact top-k — which
+    puts the whole IVF path (deterministic quantizer training, Arrow
+    matmul cell assignment, cell join, ranking) under the independent
+    brute-force oracle.  The approximate (few-probe) regime is covered by
+    recall measurement (ANN_RECALL.json) and tests, where an oracle
+    equality cannot exist by construction."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return S.ivf_topk(
+        emb, queries, n_centroids=16, n_probes=16, k=5
+    ).select("query_id", "vec_id", "rank")
+
+
+_ANN_ORACLE = """
 WITH q AS (
     SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qvec
     FROM embeddings WHERE vec_id < 5
@@ -956,6 +973,10 @@ SELECT query_id, vec_id, rank FROM (
     FROM scored
 ) WHERE rank <= 5
 """
+
+_ORACLE_KG["q_ann_topk"] = _ANN_ORACLE
+# exhaustive-probe IVF must reproduce the exact ranking — same oracle
+_ORACLE_KG["q_ivf_topk"] = _ANN_ORACLE
 
 
 # --- serving/display + process operator queries (A10/A16/J11/A15/FTS1-3) --------
@@ -1695,6 +1716,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_fingerprint": q_fingerprint,
         "q_language_id": q_language_id,
         "q_ann_topk": q_ann_topk,
+        "q_ivf_topk": q_ivf_topk,
         "q_fuzzy_search": q_fuzzy_search,
         "q_dup_collapse": q_dup_collapse,
         "q_salience": q_salience,

@@ -45,6 +45,9 @@ def main() -> None:
         ("q_topk_mean_norm", "global top-k + broadcast scalar normalization", False),
         ("q_exact_dedup", "hash dedup (scan -> partial agg -> final agg)", False),
         ("q_ann_topk", "broadcast queries x scan + per-query top-k window", False),
+        ("q_ivf_topk", "IVF: Arrow cell assignment + broadcast cell join", False),
+        ("q_tei_entries", "TEI assembly: gated join + ordered nested collect + form pre-agg", False),
+        ("q_anki", "fixed-gate global ordered top-k (TakeOrderedAndProject)", False),
     ]
     out = ["# PLANS — formatted physical plans of flagship operators\n"]
     out.append(
