@@ -1,9 +1,9 @@
 """Multimodal plumbing tests: schemas, mapInPandas batch shape, decoders.
 
-The image path decodes REAL PNG bytes end-to-end (pure-Python IHDR
-parse) and the audio path REAL WAV bytes (RIFF chunk walk; the fixture
-bytes come from the independent stdlib `wave` writer); video uses the
-deterministic stub decoder.
+All three media kinds decode REAL bytes end-to-end: PNG (pure-Python
+IHDR parse), WAV (RIFF chunk walk; fixture bytes from the independent
+stdlib `wave` writer) and MP4 (ISO-BMFF box walk over a minimal
+hand-assembled ftyp+moov/mvhd file).
 """
 
 import hashlib
@@ -63,13 +63,39 @@ WAV_8K_MONO_500MS = make_wav(8000, 1, 4000)     # 4000 frames @ 8kHz = 500ms
 WAV_16K_STEREO_250MS = make_wav(16000, 2, 4000)  # 4000 frames @ 16kHz = 250ms
 
 
+def _box(tag: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(payload)) + tag + payload
+
+
+def make_mp4(timescale: int, duration: int, version: int = 0) -> bytes:
+    """Minimal valid ISO-BMFF file: ftyp + moov{mvhd} + free."""
+    if version:
+        mvhd = (
+            bytes([1, 0, 0, 0]) + b"\x00" * 16
+            + struct.pack(">I", timescale) + struct.pack(">Q", duration)
+        )
+    else:
+        mvhd = (
+            bytes([0, 0, 0, 0]) + b"\x00" * 8
+            + struct.pack(">I", timescale) + struct.pack(">I", duration)
+        )
+    return (
+        _box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2")
+        + _box(b"moov", _box(b"mvhd", mvhd))
+        + _box(b"free", b"")
+    )
+
+
+MP4_3500MS = make_mp4(600, 2100)  # 2100 / 600 ticks/s = 3.5s
+
+
 @pytest.fixture(scope="module")
 def media(spark):
     rows = [
         (1, "image", PNG_64x48, "image/png", None, None, None),
         (2, "image", PNG_128x96, "image/png", None, None, None),
         (3, "audio", WAV_8K_MONO_500MS, "audio/wav", None, None, 2500),
-        (4, "video", b"video-bytes", "video/mp4", 640, 480, 3500),
+        (4, "video", MP4_3500MS, "video/mp4", 640, 480, 3500),
     ]
     return spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
 
@@ -92,8 +118,9 @@ def test_extract_features_real_wav(spark, media):
     assert out[3]["channels"] == 1
     assert out[3]["sample_rate"] == 8000
     assert out[3]["duration_ms"] == 500
-    # non-audio kinds carry no audio metadata
-    assert out[1]["sample_rate"] is None and out[4]["duration_ms"] is None
+    # images carry no audio metadata; video has duration but no rate
+    assert out[1]["sample_rate"] is None and out[1]["duration_ms"] is None
+    assert out[4]["sample_rate"] is None
 
 
 def test_wav_decode_variants_and_garbage():
@@ -105,6 +132,22 @@ def test_wav_decode_variants_and_garbage():
         multimodal.wav_decode(WAV_8K_MONO_500MS[:100])
     with pytest.raises(ValueError, match="NULL"):
         multimodal.wav_decode(None)
+
+
+def test_mp4_decode_real_duration(spark, media):
+    """Real MP4 bytes -> mvhd duration, end-to-end and direct (both mvhd
+    versions), with loud failure on garbage."""
+    out = {r["media_id"]: r for r in multimodal.extract_features(media).collect()}
+    assert out[4]["duration_ms"] == 3500
+    assert out[4]["sample_rate"] is None
+    f = multimodal.mp4_decode(make_mp4(90000, 90000 * 7, version=1))
+    assert f["duration_ms"] == 7000
+    with pytest.raises(ValueError, match="ftyp"):
+        multimodal.mp4_decode(b"garbage-bytes-that-are-not-mp4-data")
+    with pytest.raises(ValueError, match="truncated"):
+        multimodal.mp4_decode(MP4_3500MS[:20])
+    with pytest.raises(ValueError, match="NULL"):
+        multimodal.mp4_decode(None)
 
 
 def test_extract_features_deterministic(spark, media):

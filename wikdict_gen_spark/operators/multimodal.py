@@ -1,12 +1,12 @@
 """Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
 The Spark-side plumbing — schemas, partitioning, Arrow batch shapes,
-mapInPandas signatures — is real and tested.  The image decoder is a real
-pure-Python PNG header parse (signature + CRC-checked IHDR -> width/
-height) and the audio decoder a real RIFF/WAVE chunk walk (fmt ->
-channels/sample_rate, data size -> duration_ms); only video remains a
-deterministic stub behind DECODERS (the sandbox has no ffmpeg).  A
-deployment registers richer decoders in place:
+mapInPandas signatures — is real and tested, and so is every default
+decoder's header layer: PNG (signature + CRC-checked IHDR -> width/
+height), WAV (RIFF chunk walk -> channels/sample_rate/duration_ms) and
+MP4 (ISO-BMFF box walk -> mvhd duration).  Sample/pixel/frame-level
+features need real codecs (absent in this sandbox); a deployment
+registers richer decoders in place:
 
     multimodal.DECODERS["image"] = my_pil_decoder
 
@@ -111,6 +111,59 @@ def png_decode(payload: bytes) -> dict:
     return feats
 
 
+def mp4_decode(payload: bytes) -> dict:
+    """Real video decoder: pure-Python ISO-BMFF (MP4) box walk.
+
+    Validates the ftyp leading box, then finds moov/mvhd and reads the
+    movie timescale + duration (version 0: 32-bit, version 1: 64-bit,
+    ISO/IEC 14496-12 §8.2.2) -> duration_ms.  Frame-level features
+    (decode, sampling) still need a real codec registered in its place;
+    `frame_sample_plan` consumes the duration this parser produces.
+    """
+    if payload is None:
+        raise ValueError("cannot decode NULL payload")
+    if len(payload) < 16 or payload[4:8] != b"ftyp":
+        raise ValueError("not an MP4: first box is not ftyp")
+
+    def walk(lo: int, hi: int):
+        pos = lo
+        while pos + 8 <= hi:
+            size = int.from_bytes(payload[pos : pos + 4], "big")
+            box = payload[pos + 4 : pos + 8]
+            if size == 1:  # 64-bit largesize
+                size = int.from_bytes(payload[pos + 8 : pos + 16], "big")
+                body_off = pos + 16
+            else:
+                body_off = pos + 8
+            if size == 0:  # box extends to end
+                size = hi - pos
+            if size < 8 or pos + size > hi:
+                raise ValueError("not an MP4: truncated box")
+            yield box, body_off, pos + size
+            pos += size
+
+    mvhd = None
+    for box, lo, hi in walk(0, len(payload)):
+        if box == b"moov":
+            for b2, lo2, hi2 in walk(lo, hi):
+                if b2 == b"mvhd":
+                    mvhd = payload[lo2:hi2]
+    if mvhd is None:
+        raise ValueError("not an MP4: no moov/mvhd box")
+    version = mvhd[0]
+    if version == 1:
+        timescale = int.from_bytes(mvhd[20:24], "big")
+        duration = int.from_bytes(mvhd[24:32], "big")
+    else:
+        timescale = int.from_bytes(mvhd[12:16], "big")
+        duration = int.from_bytes(mvhd[16:20], "big")
+    if timescale == 0:
+        raise ValueError("MP4 mvhd has timescale 0")
+    feats = _fake_decode(payload)
+    feats["duration_ms"] = round(duration * 1000 / timescale)
+    return feats
+
+
 def wav_decode(payload: bytes) -> dict:
     """Real audio decoder: pure-Python RIFF/WAVE chunk walk (the PNG
     precedent — header-level features need no codec library).  Validates
@@ -156,7 +209,7 @@ def wav_decode(payload: bytes) -> dict:
 DECODERS: dict[str, Callable[[bytes], dict]] = {
     "image": png_decode,
     "audio": wav_decode,
-    "video": _fake_decode,
+    "video": mp4_decode,
 }
 
 
