@@ -1486,6 +1486,83 @@ FROM ranked WHERE rn <= 100
 """
 
 
+def q_clean_corpus(spark, sf_dir):
+    """Full training-corpus prep composition (corpus.clean_corpus):
+    quality gate -> exact dedup -> LSH near-dup removal, one oracle row
+    over the whole chain (md5-portable MinHash shape)."""
+    from wikdict_gen_spark.operators import corpus as C
+
+    return C.clean_corpus(
+        _t(spark, sf_dir, "documents"),
+        quality_min=0.5, jaccard_threshold=0.5,
+        num_hashes=4, bands=2, k=3, compact=False,
+    )
+
+
+_ORACLE_KG["q_clean_corpus"] = f"""
+WITH q AS ({_ORACLE_KG["q_quality_score"]}),
+good AS (
+    SELECT d.doc_id, d.text, q.quality
+    FROM documents d JOIN q USING (doc_id)
+    WHERE q.quality >= 0.5
+),
+h AS (
+    SELECT doc_id, text, quality,
+           md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS content_hash
+    FROM good
+),
+canon AS (
+    SELECT h.* FROM h
+    JOIN (SELECT content_hash, min(doc_id) AS doc_id FROM h GROUP BY 1) m
+      USING (content_hash, doc_id)
+),
+toks AS (
+    SELECT doc_id,
+           string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+    FROM canon
+),
+grams AS (
+    SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+    FROM toks, unnest(range(1, greatest(len(t) - 3, 0) + 2)) AS u(i)
+),
+sig AS (
+    SELECT doc_id,
+        min(md5('seed0:' || shingle)) AS mh0,
+        min(md5('seed1:' || shingle)) AS mh1,
+        min(md5('seed2:' || shingle)) AS mh2,
+        min(md5('seed3:' || shingle)) AS mh3
+    FROM grams GROUP BY doc_id
+),
+banded AS (
+    SELECT doc_id, 0 AS band, md5(mh0 || '|' || mh1) AS bsig FROM sig
+    UNION ALL
+    SELECT doc_id, 1 AS band, md5(mh2 || '|' || mh3) AS bsig FROM sig
+),
+pairs AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM banded a JOIN banded b ON a.band = b.band AND a.bsig = b.bsig
+    WHERE a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY 1),
+inter AS (
+    SELECT p.id_a, p.id_b, count(*) AS n_inter
+    FROM pairs p
+    JOIN grams ga ON ga.doc_id = p.id_a
+    JOIN grams gb ON gb.doc_id = p.id_b AND gb.shingle = ga.shingle
+    GROUP BY 1, 2
+),
+drops AS (
+    SELECT DISTINCT i.id_b AS doc_id
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.id_a
+    JOIN sizes sb ON sb.doc_id = i.id_b
+    WHERE i.n_inter * 1.0 / (sa.n + sb.n - i.n_inter) >= 0.5
+)
+SELECT c.doc_id, c.quality, c.content_hash
+FROM canon c WHERE c.doc_id NOT IN (SELECT doc_id FROM drops)
+"""
+
+
 # Anki export (ref anki_csv.sh): rel_importance values deliberately
 # collide (mod 97 over 2000 partkeys) so the written_rep tiebreak that
 # makes the LIMIT membership deterministic is itself under test.
@@ -1730,6 +1807,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_search": q_search,
         "q_anki": q_anki,
         "q_tei_entries": q_tei_entries,
+        "q_clean_corpus": q_clean_corpus,
         "q_embed_near_dup": q_embed_near_dup,
         "q_ngram_jaccard": q_ngram_jaccard,
         "q_simhash": q_simhash,

@@ -5,7 +5,7 @@ import math
 import pytest
 from pyspark.sql import functions as F
 
-from wikdict_gen_spark.operators import dedup, similarity, textstats
+from wikdict_gen_spark.operators import corpus, dedup, similarity, textstats
 
 DOCS = [
     (1, "the quick brown fox jumps over the lazy dog", "en"),
@@ -221,6 +221,39 @@ class TestSimilarity:
         assert np.array_equal(c1, c2)
         # unit rows (spherical k-means)
         assert np.allclose(np.linalg.norm(c1, axis=1), 1.0)
+
+
+class TestCleanCorpus:
+    def test_planted_cases(self, spark):
+        """Each drop reason planted once: below-quality, exact dup,
+        LSH-verified near-dup; the clean rest survives with quality and
+        content_hash attached."""
+        rows = [
+            (1, "the quick brown fox jumps over the lazy dog and sleeps well"),
+            (2, "The  quick brown fox jumps over the lazy dog and sleeps well"),
+            # near-dup of 1: appended token -> Jaccard 0.909, and the
+            # deterministic md5 minhash banding provably buckets the pair
+            (3, "the quick brown fox jumps over the lazy dog and sleeps well tonight"),
+            (4, "completely different content about spark engines and the data"),
+            (5, "!!!!!!!!!!"),  # quality 0.25: too short, all punctuation
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {
+            r["doc_id"]: r
+            for r in corpus.clean_corpus(
+                docs, quality_min=0.5, jaccard_threshold=0.5,
+                num_hashes=4, bands=2, k=3, compact=False,
+            ).collect()
+        }
+        assert set(out) == {1, 4}          # 2 exact-dropped, 3 near-dropped, 5 low-quality
+        assert out[1]["quality"] >= 0.5
+        assert out[1]["content_hash"] != out[4]["content_hash"]
+        # compact production path agrees on the survivor set
+        out_compact = corpus.clean_corpus(
+            docs, quality_min=0.5, jaccard_threshold=0.5,
+            num_hashes=4, bands=2, k=3, compact=True,
+        ).collect()
+        assert {r["doc_id"] for r in out_compact} == {1, 4}
 
 
 class TestTextStats:
