@@ -41,6 +41,7 @@ HEADLINE = [
     "q_ann_topk",
     "q_token_index",          # FTS inverted index with form discount
     "q_fuzzy_search",         # spellfix analog (levenshtein top-k)
+    "q_clean_corpus",         # flagship prep chain: quality -> exact -> LSH near-dup
 ]
 
 

@@ -57,14 +57,16 @@ def clean_corpus(
     )
     canon = good.join(exact.select(id_col), id_col)
 
-    sig = D.minhash_signatures(
-        D.shingles(canon, id_col=id_col, text_col=text_col, k=k),
-        id_col=id_col, num_hashes=num_hashes, compact=compact,
-    )
+    # one shingle derivation feeds both the signatures and the Jaccard
+    # verification (shared subtree -> AQE exchange reuse instead of a
+    # second tokenize+explode pass over the corpus)
+    sh = D.shingles(canon, id_col=id_col, text_col=text_col, k=k)
+    sig = D.minhash_signatures(sh, id_col=id_col,
+                               num_hashes=num_hashes, compact=compact)
     pairs = D.lsh_candidate_pairs(sig, id_col=id_col,
                                   num_hashes=num_hashes, bands=bands)
     verified = D.ngram_jaccard(canon, pairs, id_col=id_col,
-                               text_col=text_col, k=k).where(
+                               text_col=text_col, k=k, shingles_df=sh).where(
         F.col("jaccard") >= F.lit(float(jaccard_threshold))
     )
     # greedy drop: id_b > id_a by construction of the pair list, so every

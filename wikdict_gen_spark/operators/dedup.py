@@ -135,9 +135,15 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
 
 
 def ngram_jaccard(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
-                  text_col: str = "text", k: int = 3) -> DataFrame:
-    """Exact shingle-set Jaccard for candidate pairs (verification step)."""
-    sh = shingles(docs, id_col, text_col, k)
+                  text_col: str = "text", k: int = 3,
+                  shingles_df: DataFrame | None = None) -> DataFrame:
+    """Exact shingle-set Jaccard for candidate pairs (verification step).
+
+    Pass `shingles_df` when the caller already derived the shingle table
+    (e.g. for MinHash signatures upstream) so one tokenize+explode plan
+    feeds both stages instead of recomputing it per consumer.
+    """
+    sh = shingles(docs, id_col, text_col, k) if shingles_df is None else shingles_df
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     sh_a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     sh_b = sh.select(F.col(id_col).alias("id_b"), "shingle")
