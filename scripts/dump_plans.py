@@ -48,6 +48,7 @@ def main() -> None:
         ("q_ivf_topk", "IVF: Arrow cell assignment + broadcast cell join", False),
         ("q_tei_entries", "TEI assembly: gated join + ordered nested collect + form pre-agg", False),
         ("q_anki", "fixed-gate global ordered top-k (TakeOrderedAndProject)", False),
+        ("q_clean_corpus", "corpus prep chain: quality gate -> exact dedup -> LSH near-dup removal", False),
     ]
     out = ["# PLANS — formatted physical plans of flagship operators\n"]
     out.append(
