@@ -3,15 +3,23 @@
 
 Default mode (driver contract): runs the headline queries at
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
-local[$SPARK_GRAFT_CPUS], plus one full KG-pipeline throughput run over a
-cached synthetic pages corpus, and prints ONE JSON line:
+local[$SPARK_GRAFT_CPUS], plus the full KG-pipeline throughput measured
+as the MEDIAN of $SPARK_GRAFT_PIPELINE_ROUNDS (default 3) fresh-JVM runs
+over a cached synthetic pages corpus (single runs sit inside the host's
+documented ±56% CPU-noise band — see BENCH.md), and prints ONE JSON line:
     {"metric": ..., "value": <total sec>, "unit": "sec",
-     "queries": {...}, "sf": ..., "triples_per_sec": ...}
+     "queries": {...}, "sf": ..., "triples_per_sec": ...,
+     "pipeline_samples": [...]}
 
 --throughput-only --cpus N : print only the pipeline throughput JSON
-    (used by --scaling via subprocesses for clean JVMs).
---scaling : run the same pipeline job at local[8] and local[32],
-    report both throughputs + scaling efficiency, write BENCH.md.
+    (used by the default mode and --scaling via subprocesses for clean
+    JVMs).
+--scaling : run the same pipeline job at two parallelism levels — the
+    pinned default pair local[1] vs local[4] (both below the box's
+    measured DRAM-saturation knee; override via SPARK_GRAFT_SCALE_PAIR,
+    mode via SPARK_GRAFT_SCALE_MODE=threads|executors) — as
+    SPARK_GRAFT_SCALE_ROUNDS interleaved rounds, report per-size median
+    throughputs + scaling efficiency, write BENCH.md.
 """
 
 from __future__ import annotations
@@ -182,11 +190,10 @@ def main() -> None:
         # noise regime; medians per size feed the efficiency number and
         # every sample is reported.
         mode = os.environ.get("SPARK_GRAFT_SCALE_MODE", "threads")
-        # threads default 1,4: both sides below the single box's DRAM
-        # saturation knee (see BENCH.md's parallelism survey — 8+
-        # concurrent cores measure the box, not the plan)
-        default_pair = "1,4" if mode == "threads" else "1,4"
-        pair = os.environ.get("SPARK_GRAFT_SCALE_PAIR", default_pair)
+        # pinned default 1,4 (both modes): both sides below the single
+        # box's DRAM saturation knee (see BENCH.md's parallelism survey —
+        # 8+ concurrent cores measure the box, not the plan)
+        pair = os.environ.get("SPARK_GRAFT_SCALE_PAIR", "1,4")
         rounds = int(os.environ.get("SPARK_GRAFT_SCALE_ROUNDS", "3"))
         lo_e, hi_e = (int(x) for x in pair.split(","))
         size_flag = "--cpus" if mode == "threads" else "--executors"
@@ -233,7 +240,23 @@ def main() -> None:
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     timings = run_headline(sf_dir, args.cpus)
-    thr = pipeline_throughput(args.cpus)
+    # pipeline row as a MEDIAN of fresh-JVM repetitions: the host's
+    # effective CPU speed fluctuates ±56% run to run (BENCH.md), so a
+    # single-run headline number confounds host noise with plan changes;
+    # each repetition is its own subprocess (back-to-back runs in one JVM
+    # contaminate the later measurement), 10s settle between
+    rounds = int(os.environ.get("SPARK_GRAFT_PIPELINE_ROUNDS", "3"))
+    samples: list[dict] = []
+    for i in range(rounds):
+        if i:
+            time.sleep(10)
+        r = subprocess.run(
+            [sys.executable, __file__, "--throughput-only",
+             "--cpus", str(args.cpus)],
+            capture_output=True, text=True, check=True,
+        )
+        samples.append(json.loads(r.stdout.strip().splitlines()[-1]))
+    thr = sorted(samples, key=lambda x: x["triples_per_sec"])[len(samples) // 2]
     print(json.dumps({
         "metric": "headline_queries_total",
         "value": round(sum(timings.values()), 3),
@@ -244,9 +267,12 @@ def main() -> None:
         "pipeline_wall_s": thr["wall_s"],
         "pipeline_mode": thr["mode"],
         "triples_per_sec": thr["triples_per_sec"],
+        "pipeline_rounds": rounds,
+        "pipeline_samples": [s["triples_per_sec"] for s in samples],
         "note": ("headline set grew in round 4 by q_minhash_compact and "
                  "q_clean_corpus; compare round-over-round on the shared "
-                 "queries, not the total"),
+                 "queries, not the total; triples_per_sec is the median "
+                 "of pipeline_samples (fresh JVMs)"),
     }))
 
 
@@ -345,7 +371,7 @@ Generated by `python bench.py --scaling` (mode via
 SPARK_GRAFT_SCALE_MODE=threads|executors, pair via
 SPARK_GRAFT_SCALE_PAIR, rounds via SPARK_GRAFT_SCALE_ROUNDS, corpus size
 via SPARK_GRAFT_BENCH_CONCEPTS).
-{_local_cluster_history_md()}{_probes_md()}{_rehearsal_md()}{_ann_recall_md()}""")
+{_local_cluster_history_md()}{_probes_md()}{_rehearsal_md()}{_ann_recall_md()}{_neardup_recall_md()}""")
 
 
 def _per_round_line(report: dict) -> str:
@@ -496,6 +522,37 @@ candidates/query is the scan-cost knob:
 {rows}
 
 Measured by `python scripts/ann_recall.py` (writes ANN_RECALL.json).
+"""
+
+
+def _neardup_recall_md() -> str:
+    """Embedding near-dup band-sweep recall from scripts/neardup_recall.py."""
+    p = Path("NEARDUP_RECALL.json")
+    if not p.exists():
+        return ""
+    r = json.loads(p.read_text())
+    rows = "\n".join(
+        f"| {x['n_planes']} | {x['n_bands']} | {x['recall']:.3f} "
+        f"| {x['candidate_pairs']} |"
+        for x in r["rows"]
+    )
+    return f"""
+## Embedding near-dup LSH recall (band sweep, OR-amplification)
+
+{r['corpus_vectors']} vectors (dim {r['dim']}: {r['base_vectors']} real
+embeddings + one planted near-dup twin each), exact all-pairs baseline =
+{r['exact_pairs']} pairs at cosine >= {r['threshold']}
+({r['planted_twins_in_exact']}/{r['base_vectors']} planted twins among
+them).  Candidates must agree on ALL n_planes signs of ANY band —
+recall amplifies as 1-(1-p^r)^b while every emitted pair stays
+cosine-verified (precision 1.0 by construction); candidate_pairs is the
+bucket-join cost the bands multiply:
+
+| n_planes | n_bands | recall | candidate pairs |
+|---|---|---|---|
+{rows}
+
+Measured by `python scripts/neardup_recall.py` (writes NEARDUP_RECALL.json).
 """
 
 

@@ -48,7 +48,8 @@ def main() -> None:
         ("q_ivf_topk", "IVF: Arrow cell assignment + broadcast cell join", False),
         ("q_tei_entries", "TEI assembly: gated join + ordered nested collect + form pre-agg", False),
         ("q_anki", "fixed-gate global ordered top-k (TakeOrderedAndProject)", False),
-        ("q_clean_corpus", "corpus prep chain: quality gate -> exact dedup -> LSH near-dup removal", False),
+        ("q_clean_corpus", "corpus prep chain: quality gate -> exact dedup -> LSH near-dup removal (canon + shingle trunks localCheckpoint-materialized: Scan ExistingRDD, zero repeated parquet scans)", True),
+        ("q_clean_corpus_raw", "the same chain UN-materialized (materialize=False) — the full logical tree the checkpoints cut; kept as the why-materialize evidence", False),
     ]
     out = ["# PLANS — formatted physical plans of flagship operators\n"]
     out.append(
@@ -78,6 +79,15 @@ def main() -> None:
             )
             at = spark.sql(entrymod.ALL_TRANS_SQL)
             return I.indirect(at, I.backlink_score(at))
+        if name == "q_clean_corpus_raw":
+            from wikdict_gen_spark.operators import corpus as C
+
+            return C.clean_corpus(
+                spark.read.parquet(f"{SF_DIR}/documents.parquet"),
+                quality_min=0.5, jaccard_threshold=0.5,
+                num_hashes=4, bands=2, k=3, compact=False,
+                materialize=False,
+            )
         return queries[name](spark, SF_DIR)
 
     for name, why, final in picks:

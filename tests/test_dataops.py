@@ -84,6 +84,35 @@ class TestDedup:
         assert lsh <= exact  # bucket path never invents pairs
         assert planted <= lsh  # jittered copies share the sign signature
 
+    def test_embedding_near_dups_band_amplification(self, spark):
+        """OR-amplified banding: more bands never loses pairs (recall is
+        monotone in n_bands), every band count stays a subset of exact,
+        and exhaustive banding at few planes recovers pairs a single
+        band misses."""
+        import random
+
+        rng = random.Random(11)
+        base = [[rng.uniform(-1, 1) for _ in range(16)] for _ in range(12)]
+        rows = []
+        for i, v in enumerate(base):
+            rows.append((i * 2, [float(x) for x in v]))
+            rows.append((i * 2 + 1, [float(x + rng.uniform(-0.1, 0.1)) for x in v]))
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        exact = {
+            (r["id_a"], r["id_b"])
+            for r in dedup.embedding_near_dups(emb, 0.9, method="exact").collect()
+        }
+        found = {}
+        for n_bands in (1, 2, 4):
+            found[n_bands] = {
+                (r["id_a"], r["id_b"])
+                for r in dedup.embedding_near_dups(
+                    emb, 0.9, method="lsh", dim=16, n_planes=6, n_bands=n_bands
+                ).collect()
+            }
+            assert found[n_bands] <= exact
+        assert found[1] <= found[2] <= found[4]
+
     def test_simhash_near_dups_close(self, docs):
         sig = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs).collect()}
         def hamming(a, b):

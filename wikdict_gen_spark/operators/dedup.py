@@ -35,6 +35,27 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     )
 
 
+def exact_dedup_rows(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Exact dedup keeping the canonical full ROW per content group.
+
+    Same rule as exact_dedup (minimum id per normalized-content group) but
+    the other output shape: exact_dedup returns the group summary (hash,
+    min id, n_dups); this returns the surviving input rows themselves with
+    `content_hash` attached, for compositions that keep processing the
+    canonical documents (clean_corpus carries quality + text forward).
+    One shuffle on the 128-bit hash (window min) — no join back to the
+    input, so the corpus is scanned once.
+    """
+    h = docs.withColumn("content_hash", F.md5(_norm_text(F.col(text_col))))
+    w = Window.partitionBy("content_hash")
+    return (
+        h.withColumn("__min_id", F.min(id_col).over(w))
+        .where(F.col(id_col) == F.col("__min_id"))
+        .drop("__min_id")
+    )
+
+
 def shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
              k: int = 3) -> DataFrame:
     """Word k-gram shingles per document (distinct), via JVM-side array ops."""
@@ -134,15 +155,25 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
     )
 
 
-def ngram_jaccard(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
+def ngram_jaccard(docs: DataFrame | None, pairs: DataFrame, id_col: str = "doc_id",
                   text_col: str = "text", k: int = 3,
                   shingles_df: DataFrame | None = None) -> DataFrame:
     """Exact shingle-set Jaccard for candidate pairs (verification step).
 
-    Pass `shingles_df` when the caller already derived the shingle table
-    (e.g. for MinHash signatures upstream) so one tokenize+explode plan
-    feeds both stages instead of recomputing it per consumer.
+    Exactly one of `docs` / `shingles_df` must be given.  Pass
+    `shingles_df` (with docs=None) when the caller already derived the
+    shingle table — e.g. for MinHash signatures upstream — so one
+    tokenize+explode plan feeds both stages; `k` and `text_col` are then
+    ignored (they describe a derivation that does not run here).  Passing
+    both is an error: a shingle table derived from a different document
+    set or k would silently produce wrong Jaccard values.
     """
+    if (docs is None) == (shingles_df is None):
+        raise ValueError(
+            "ngram_jaccard: pass exactly one of docs or shingles_df "
+            "(a shingles_df from a different doc set / k than docs would "
+            "yield wrong Jaccard values without any error)"
+        )
     sh = shingles(docs, id_col, text_col, k) if shingles_df is None else shingles_df
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     sh_a = sh.select(F.col(id_col).alias("id_a"), "shingle")
@@ -170,18 +201,26 @@ def embedding_near_dups(
     threshold: float = 0.9,
     method: str = "lsh",
     n_planes: int = 8,
+    n_bands: int = 1,
     dim: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (id_a < id_b, cosine >= threshold).
 
-    method="lsh" (default, the scale path): candidates must share a
-    random-hyperplane sign signature (similarity.rp_signature) — the
-    all-pairs product collapses to per-bucket joins keyed on the
-    signature, the same shuffle shape as MinHash banding.  Misses pairs
-    whose signatures differ (recall grows with fewer planes); the planted
-    near-dup and subset-of-exact properties are tested.
+    method="lsh" (default, the scale path): candidates must agree on ALL
+    `n_planes` random-hyperplane signs of ANY of `n_bands` independent
+    signatures (similarity.rp_signature; band b uses planes
+    b*n_planes .. (b+1)*n_planes-1) — the all-pairs product collapses to
+    per-(band, signature) bucket joins, the same shuffle shape as MinHash
+    banding, and a pair's capture probability is OR-amplified across
+    bands: 1-(1-p^r)^b for per-plane agreement p, r=n_planes, b=n_bands.
+    n_bands=1 is the single-AND-band round-3 behavior; raise it to buy
+    recall at the advertised 0.9-cosine regime without cutting planes
+    (which would trade precision instead).  Recall per (n_planes,
+    n_bands) is measured in NEARDUP_RECALL.json
+    (scripts/neardup_recall.py); every emitted pair is cosine-VERIFIED,
+    so banding only affects recall, never precision.
 
     method="exact": the full O(n^2) self-join — the verification/oracle
     path and the correct choice for small relations (e.g. per-partition
@@ -193,9 +232,19 @@ def embedding_near_dups(
     if method == "lsh":
         if dim is None:
             raise ValueError("dim is required for method='lsh'")
-        planes = [S._hyperplane(p, dim) for p in range(n_planes)]
-        e = e.withColumn("__sig", S.rp_signature(F.col(vec_col), planes))
-        join_keys = [F.col(f"a.__sig") == F.col(f"b.__sig")]
+        band_sigs = []
+        for b in range(n_bands):
+            planes = [
+                S._hyperplane(b * n_planes + p, dim) for p in range(n_planes)
+            ]
+            band_sigs.append(
+                F.struct(
+                    F.lit(b).alias("band"),
+                    S.rp_signature(F.col(vec_col), planes).alias("sig"),
+                )
+            )
+        e = e.withColumn("__bs", F.explode(F.array(*band_sigs)))
+        join_keys = [F.col("a.__bs") == F.col("b.__bs")]
     elif method == "exact":
         join_keys = []
     else:

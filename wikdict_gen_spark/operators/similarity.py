@@ -250,7 +250,19 @@ def _assign_cells(df: DataFrame, cent, vec_col: str, n_probes: int,
     # the explicit returnType + SCALAR default carry the contract
     @pandas_udf("array<int>")
     def cells(vecs):
-        x = np.asarray(list(vecs), dtype=np.float64)
+        # empty Arrow batches and null/ragged embeddings would otherwise
+        # surface as an opaque numpy axis error inside the executor
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        dim = cmat.shape[1]
+        for i, v in enumerate(vecs):
+            if v is None or len(v) != dim:
+                raise ValueError(
+                    f"ivf cell assignment: embedding at batch offset {i} is "
+                    f"{'NULL' if v is None else f'length {len(v)}'}, "
+                    f"expected a {dim}-dim vector"
+                )
+        x = np.asarray(list(vecs), dtype=np.float64).reshape(len(vecs), dim)
         x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
         sims = x @ cmat.T
         # top-probes cell ids, best first (argsort of -sims is stable, so

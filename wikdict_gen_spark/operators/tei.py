@@ -434,10 +434,12 @@ def render_pair_template(
 
     Byte-parity with the reference's write_tei_dict (tei.py:385-444): fill
     the template, round-trip it through ElementTree (parse -> indent ->
-    tostring(utf-8)) which yields the single-quoted second XML declaration
-    and canonical header indentation, strip the <wikdict:dummy /> namespace
-    anchor, and split at the {entries} placeholder the first .format left
-    behind.  Driver-side, once per pair — microseconds against a 100-TB
+    tostring(utf-8)) for canonical header indentation — tostring emits NO
+    XML declaration on this Python, so the only declarations in the file
+    are the TEI_FILE_DECLARATIONS block written ahead of the header
+    (matching the checked-in golden) — strip the <wikdict:dummy />
+    namespace anchor, and split at the {entries} placeholder the first
+    .format left behind.  Driver-side, once per pair — microseconds against a 100-TB
     body, so the imperative ElementTree pass is free.
     """
     import xml.etree.ElementTree as ET

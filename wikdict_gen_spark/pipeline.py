@@ -171,9 +171,23 @@ def run_pipeline(
     # through one full exchange, measured ~20% of pipeline wall when it
     # fired on an already-parallel scan.
     # cheap file-count short-circuit first: >= cores files can never be
-    # under-parallel, so the common path skips the rdd partition probe
-    # (which instantiates the Python RDD conversion just to read a number)
-    if len(pages.inputFiles()) < cores and pages.rdd.getNumPartitions() < cores:
+    # under-parallel — but only under the default file-split configs
+    # (FileScan bin-packs many files into fewer splits when
+    # maxPartitionBytes/openCostInBytes are raised, so the file count
+    # stops bounding the split count); with non-default configs the rdd
+    # partition probe stays the authority
+    def _default_split_conf() -> bool:
+        get = spark.conf.get
+        return (
+            get("spark.sql.files.maxPartitionBytes", "134217728b").rstrip("b")
+            == "134217728"
+            and get("spark.sql.files.openCostInBytes", "4194304b").rstrip("b")
+            == "4194304"
+        )
+
+    if (
+        len(pages.inputFiles()) < cores or not _default_split_conf()
+    ) and pages.rdd.getNumPartitions() < cores:
         pages = pages.repartition(cores * 2)
     extracted = stage("extracted", lambda: extract_text(pages))
     if done[0]:

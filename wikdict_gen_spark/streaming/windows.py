@@ -10,11 +10,13 @@ Two engine capabilities the batch reference has no analog for:
   stateful operator (`applyInPandasWithState`): state is one counter per
   content hash, the first arrival is emitted as canonical, later
   arrivals only bump the duplicate count.  At 100 TB the state store
-  shards by the hash key across executors; the processing-time timeout
-  (default 30 days) ages abandoned keys out instead of growing state
-  forever — a timed-out key is dropped and its content re-arrives as
-  canonical, the correct trade for a crawl stream where a hash silent
-  for a month is effectively a new document.
+  shards by the hash key across executors; an opt-in processing-time
+  timeout (`timeout_ms=LIVE_STREAM_TTL_MS` for live streams) ages
+  abandoned keys out instead of growing state forever — a timed-out key
+  is dropped and its content re-arrives as canonical, the correct trade
+  for a crawl stream where a hash silent for a month is effectively a
+  new document.  The default is no timeout so Trigger.AvailableNow
+  replays terminate (a pending timer would re-trigger forever).
 """
 
 from __future__ import annotations
@@ -126,8 +128,11 @@ def _make_dedup_fn(timeout_ms: int | None):
     return _dedup_fn
 
 
+LIVE_STREAM_TTL_MS = 30 * 24 * 3600 * 1000  # the recommended live-stream TTL
+
+
 def streaming_exact_dedup(
-    pages_stream: DataFrame, timeout_ms: int | None = 30 * 24 * 3600 * 1000
+    pages_stream: DataFrame, timeout_ms: int | None = None
 ) -> DataFrame:
     """Cross-batch exact dedup: one output row per content hash per batch
     it appears in, carrying the canonical url and the running duplicate
@@ -135,17 +140,21 @@ def streaming_exact_dedup(
     the batch's first sighting or aggregates the counts — either way the
     canonical choice is stable across batches because it lives in state.
 
-    `timeout_ms` (default 30 days) bounds the state store: a content hash
-    with no arrivals for that processing-time duration is evicted (its
-    state would otherwise grow one entry per distinct hash, forever, on an
-    endless crawl stream).  Timeouts fire only in a data-bearing trigger,
-    so eviction is lazy but state stays bounded as long as the stream
-    flows.
+    `timeout_ms` bounds the state store: a content hash with no arrivals
+    for that processing-time duration is evicted (its state would
+    otherwise grow one entry per distinct hash, forever, on an endless
+    crawl stream).  Timeouts fire only in a data-bearing trigger, so
+    eviction is lazy but state stays bounded as long as the stream flows.
 
-    MUST pass None under Trigger.AvailableNow: a pending processing-time
-    timer keeps that trigger scheduling micro-batches forever, so the
-    bounded replay never terminates.  None pins keys for the lifetime of
-    the query — correct for bounded replays, unbounded for live streams.
+    The default is None — NO timeout — because a pending processing-time
+    timer makes Trigger.AvailableNow keep scheduling micro-batches
+    forever, so a TTL default would hang every bounded replay (the common
+    test/backfill trigger) out of the box.  None pins keys for the
+    lifetime of the query: correct for bounded replays, unbounded for
+    live streams — a LIVE stream MUST opt in to a TTL, e.g.
+    `timeout_ms=LIVE_STREAM_TTL_MS` (30 days: a hash silent for a month
+    is effectively a new document; its next arrival re-emits as
+    canonical, the correct trade for a crawl feed).
     """
     hashed = pages_stream.select(
         F.md5(
