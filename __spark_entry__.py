@@ -598,6 +598,75 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_stream_event_windows(spark, sf_dir):
+    """§2.10 under the row-hash oracle: the windowed aggregation runs as a
+    REAL streaming query — file source -> watermark -> stateful agg ->
+    memory sink, Trigger.AvailableNow — via
+    streaming.windows.windowed_event_stats.
+
+    COMPLETE output mode, deliberately: under availableNow, append mode
+    withholds every window the final watermark hasn't passed (how many
+    depends on micro-batch boundaries), so no batching-invariant oracle
+    equality exists for it; complete output equals the batch groupBy
+    regardless of batching, which is exactly the property an independent
+    DuckDB evaluation can check.  The append/late-data path is asserted
+    batch-by-batch in tests/test_streaming_windows.py, where the trigger
+    sequence is controlled.
+    """
+    import re
+
+    from wikdict_gen_spark.streaming import windows as W
+
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # the file-stream source requires its path to be a DIRECTORY (it
+    # becomes the partition-discovery basePath); events.parquet is a
+    # single file, so expose it through a per-(app, sf_dir) temp dir via
+    # symlink — no data copied, deterministic contents
+    import os
+    import tempfile
+
+    src = os.path.abspath(f"{sf_dir}/events.parquet")
+    if os.path.isdir(src):
+        stream_path = src  # already a directory dataset: stream it directly
+    else:
+        link_dir = os.path.join(
+            tempfile.gettempdir(),
+            "stream_src_" + re.sub(r"[^0-9a-zA-Z]+", "_", sf_dir).strip("_"),
+        )
+        os.makedirs(link_dir, exist_ok=True)
+        link = os.path.join(link_dir, "events.parquet")
+        if not os.path.exists(link):
+            os.symlink(src, link)
+        stream_path = link_dir
+    stream = spark.readStream.schema(schema).parquet(stream_path)
+    # watermarks require TIMESTAMP (ltz); the table stores ntz.  The
+    # session tz is pinned to UTC (session.py), so ntz -> ltz -> window
+    # -> ntz round-trips to exactly date_trunc('hour', ts)
+    stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    out = W.windowed_event_stats(stream).withColumn(
+        "window_start", F.col("window_start").cast("timestamp_ntz")
+    )
+    name = "stream_ev_" + re.sub(r"[^0-9a-zA-Z]+", "_", sf_dir).strip("_")
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+_ORACLE_KG["q_stream_event_windows"] = """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       count(*) AS n_events,
+       min(user_id) AS min_user, max(user_id) AS max_user,
+       min(value) AS min_value, max(value) AS max_value
+FROM events GROUP BY 1, 2
+"""
+
+
 # --- training-data-pipeline queries over documents/embeddings -------------------
 
 def q_exact_dedup(spark, sf_dir):
@@ -1786,6 +1855,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_distinct_union": q_distinct_union,
         "q_surface_guess": q_surface_guess,
         "q_event_windows": q_event_windows,
+        "q_stream_event_windows": q_stream_event_windows,
         "q_exact_dedup": q_exact_dedup,
         "q_minhash_signature": q_minhash_signature,
         "q_token_count": q_token_count,

@@ -204,3 +204,73 @@ def test_streaming_dedup_state_ttl(spark, tmp_path):
     assert revived[0]["first_ts"].replace(tzinfo=None) == T0 + datetime.timedelta(
         minutes=3
     )
+
+
+def test_windowed_event_stats_complete_mode_out_of_order(spark, tmp_path):
+    """The oracle-portable twin (q_stream_event_windows' operator): a
+    multi-batch OUT-OF-ORDER replay in complete output mode must equal
+    the batch groupBy regardless of micro-batch boundaries."""
+    from wikdict_gen_spark.streaming.windows import windowed_event_stats
+
+    src = tmp_path / "events_landing"
+    src.mkdir()
+
+    def _events_table(rows):
+        """rows: (event_id, ts_offset_minutes, user_id, event_type, value)."""
+        return pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array(
+                    [T0 + datetime.timedelta(minutes=r[1]) for r in rows],
+                    pa.timestamp("us", tz="UTC"),
+                ),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array([r[3] for r in rows], pa.string()),
+                "value": pa.array([r[4] for r in rows], pa.float64()),
+            }
+        )
+
+    # batch 1 reaches 11:10; batch 2 goes BACK to 10:20 (out of order);
+    # batch 3 is >2h late relative to the stream's max event time
+    batches = [
+        [(1, 5, 100, "click", 1.5), (2, 70, 101, "click", 2.5)],
+        [(3, 20, 102, "view", 0.5), (4, 75, 100, "click", 4.0)],
+        [(5, -90, 103, "view", 9.0)],
+    ]
+    all_rows = [r for b in batches for r in b]
+    now = time.time()
+    for i, b in enumerate(batches):
+        pq.write_table(_events_table(b), src / f"b{i}.parquet")
+        os.utime(src / f"b{i}.parquet", (now - 100 + i * 10,) * 2)
+
+    sch = ("event_id long, ts timestamp, user_id long, "
+           "event_type string, value double")
+    stream = (
+        spark.readStream.schema(sch)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    q = (
+        windowed_event_stats(stream, window="1 hour", watermark="2 hours")
+        .writeStream.format("memory")
+        .queryName("ev_stats_complete")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["window_start"].hour, r["event_type"]):
+            (r["n_events"], r["min_user"], r["max_user"],
+             r["min_value"], r["max_value"])
+        for r in spark.sql("SELECT * FROM ev_stats_complete").collect()
+    }
+    # independent expectation from the raw rows (batch semantics)
+    expect = {}
+    for _eid, off, uid, et, val in all_rows:
+        hour = (T0 + datetime.timedelta(minutes=off)).hour
+        n, lo, hi, vlo, vhi = expect.get((hour, et), (0, uid, uid, val, val))
+        expect[(hour, et)] = (
+            n + 1, min(lo, uid), max(hi, uid), min(vlo, val), max(vhi, val)
+        )
+    assert got == expect

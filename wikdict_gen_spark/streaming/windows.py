@@ -66,6 +66,48 @@ def windowed_page_stats(
     )
 
 
+def windowed_event_stats(
+    events_stream: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+) -> DataFrame:
+    """Tumbling event-time windows with exact, engine-portable aggregates —
+    the oracle-comparable twin of windowed_page_stats.
+
+    Same watermark + window + stateful-aggregation plan shape, but every
+    output value is reproducible by an independent SQL engine: count plus
+    min/max (order-independent even on doubles), no HLL sketch.  Run
+    under Trigger.AvailableNow with COMPLETE output mode the result is
+    batching-invariant and equals the batch groupBy — that is what puts
+    the streaming execution path itself under the row-hash oracle
+    (q_stream_event_windows); append-mode late-data semantics stay under
+    pytest (test_streaming_windows), where the trigger-dependent window
+    flush can be asserted batch by batch.
+    """
+    return (
+        events_stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("w"), key_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("user_id").alias("min_user"),
+            F.max("user_id").alias("max_user"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            key_col,
+            "n_events",
+            "min_user",
+            "max_user",
+            "min_value",
+            "max_value",
+        )
+    )
+
+
 DEDUP_OUTPUT_SCHEMA = StructType(
     [
         StructField("content_hash", StringType(), False),
