@@ -215,3 +215,140 @@ def test_resize_stub_columns(spark, media):
     out = multimodal.resize_stub(media, 224, 224)
     row = out.where(F.col("media_id") == 1).collect()[0]
     assert (row["target_width"], row["target_height"]) == (224, 224)
+
+
+# ---- real pixel/sample-level embeddings (uncompressed formats) ----
+
+# 2x2 test scene: red, green, blue, white — stats hand-computed below.
+SCENE = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (255, 255, 255)]
+
+
+def make_ppm(pixels, width, height, maxval=255, comment=False) -> bytes:
+    """Binary P6 bytes assembled by hand — independent of the decoder."""
+    hdr = b"P6\n" + (b"# test comment\n" if comment else b"")
+    hdr += b"%d %d\n%d\n" % (width, height, maxval)
+    return hdr + bytes(v for px in pixels for v in px)
+
+
+def make_bmp(pixels, width, height, top_down=False) -> bytes:
+    """24-bit BI_RGB BMP bytes assembled by hand: BGR rows, 4-byte
+    padded, bottom-up unless top_down."""
+    stride = (width * 3 + 3) & ~3
+    rows = [pixels[y * width : (y + 1) * width] for y in range(height)]
+    if not top_down:
+        rows = rows[::-1]
+    raster = b"".join(
+        bytes(v for (r, g, b) in row for v in (b, g, r)).ljust(stride, b"\x00")
+        for row in rows
+    )
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, width, -height if top_down else height,
+        1, 24, 0, len(raster), 2835, 2835, 0, 0,
+    )
+    file_hdr = struct.pack("<2sIHHI", b"BM", 54 + len(raster), 0, 0, 54)
+    return file_hdr + info + raster
+
+
+def scene_expected_embedding():
+    """The SCENE stats derived with plain-Python arithmetic, independent
+    of the numpy implementation under test."""
+    px = [tuple(v / 255.0 for v in p) for p in SCENE]
+    n = len(px)
+    means = [sum(p[c] for p in px) / n for c in range(3)]
+    luma = [0.299 * r + 0.587 * g + 0.114 * b for r, g, b in px]
+    mu = sum(luma) / n
+    std = (sum((v - mu) ** 2 for v in luma) / n) ** 0.5
+    hist = [0.0] * 4
+    for v in luma:
+        hist[min(int(v * 4), 3)] += 1 / n
+    return [*means, std, *hist]
+
+
+def test_ppm_real_pixel_embedding():
+    f = multimodal.ppm_decode(make_ppm(SCENE, 2, 2, comment=True))
+    assert (f["width"], f["height"]) == (2, 2)
+    assert f["embedding_real"] is True
+    want = scene_expected_embedding()
+    assert f["embedding"] == pytest.approx(want, abs=1e-12)
+    # maxval rescale: the same scene at maxval 51 (values /5) must give
+    # the same embedding after the decoder's 255/maxval rescale
+    scaled = [tuple(v // 5 for v in p) for p in SCENE]
+    f51 = multimodal.ppm_decode(make_ppm(scaled, 2, 2, maxval=51))
+    assert f51["embedding"] == pytest.approx(want, abs=1e-12)
+
+
+def test_ppm_rejects_malformed():
+    with pytest.raises(ValueError, match="bad magic"):
+        multimodal.ppm_decode(b"P5\n2 2\n255\n" + bytes(4))
+    with pytest.raises(ValueError, match="maxval"):
+        multimodal.ppm_decode(b"P6\n2 2\n65535\n" + bytes(24))
+    with pytest.raises(ValueError, match="truncated raster"):
+        multimodal.ppm_decode(make_ppm(SCENE, 2, 2)[:-5])
+    with pytest.raises(ValueError, match="truncated header"):
+        multimodal.ppm_decode(b"P6\n2 2")
+    with pytest.raises(ValueError, match="NULL"):
+        multimodal.ppm_decode(None)
+
+
+def test_bmp_matches_ppm_pixels():
+    """Same scene through the BMP path (BGR, bottom-up, padded stride)
+    and the top-down variant -> identical real embedding."""
+    want = scene_expected_embedding()
+    for td in (False, True):
+        f = multimodal.bmp_decode(make_bmp(SCENE, 2, 2, top_down=td))
+        assert (f["width"], f["height"]) == (2, 2)
+        assert f["embedding_real"] is True
+        assert f["embedding"] == pytest.approx(want, abs=1e-12)
+
+
+def test_bmp_rejects_unsupported():
+    bad_bpp = bytearray(make_bmp(SCENE, 2, 2))
+    bad_bpp[28:30] = struct.pack("<H", 8)
+    with pytest.raises(ValueError, match="unsupported BMP shape"):
+        multimodal.bmp_decode(bytes(bad_bpp))
+    with pytest.raises(ValueError, match="truncated pixel array"):
+        multimodal.bmp_decode(make_bmp(SCENE, 2, 2)[:-3])
+    with pytest.raises(ValueError, match="bad signature"):
+        multimodal.bmp_decode(b"XX" + bytes(60))
+
+
+def test_wav_real_sample_embedding():
+    """A +/-0.25 square wave has exact closed-form stats: rms = mean_abs
+    = peak = 0.25, zcr = 1.0, all |amplitude| mass in quartile bin 1."""
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(
+            b"".join(struct.pack("<h", 8192 if i % 2 == 0 else -8192) for i in range(400))
+        )
+    f = multimodal.wav_decode(buf.getvalue())
+    assert f["embedding_real"] is True
+    assert f["embedding"] == pytest.approx(
+        [0.25, 0.25, 1.0, 0.25, 0.0, 1.0, 0.0, 0.0], abs=1e-12
+    )
+
+
+def test_embedding_real_flag_end_to_end(spark):
+    """PPM/BMP/PCM-WAV rows come back embedding_real=true with pixel
+    stats; PNG/MP4 keep the documented md5 stand-in, flagged false."""
+    rows = [
+        (1, "image", make_ppm(SCENE, 2, 2), "image/x-portable-pixmap", None, None, None),
+        (2, "image", make_bmp(SCENE, 2, 2), "image/bmp", None, None, None),
+        (3, "image", PNG_64x48, "image/png", None, None, None),
+        (4, "audio", WAV_8K_MONO_500MS, "audio/wav", None, None, None),
+        (5, "video", MP4_3500MS, "video/mp4", None, None, None),
+    ]
+    df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    out = {r["media_id"]: r for r in multimodal.extract_features(df).collect()}
+    want = scene_expected_embedding()
+    assert out[1]["embedding_real"] and out[2]["embedding_real"] and out[4]["embedding_real"]
+    assert not out[3]["embedding_real"] and not out[5]["embedding_real"]
+    assert list(out[1]["embedding"]) == pytest.approx(want, abs=1e-6)
+    assert list(out[2]["embedding"]) == pytest.approx(want, abs=1e-6)
+    # the PNG stand-in is still the documented md5 derivation
+    digest = hashlib.md5(PNG_64x48).digest()
+    assert list(out[3]["embedding"]) == pytest.approx(
+        [b / 256.0 for b in digest[:8]], abs=1e-6
+    )

@@ -4,15 +4,24 @@ The Spark-side plumbing — schemas, partitioning, Arrow batch shapes,
 mapInPandas signatures — is real and tested, and so is every default
 decoder's header layer: PNG (signature + CRC-checked IHDR -> width/
 height), WAV (RIFF chunk walk -> channels/sample_rate/duration_ms) and
-MP4 (ISO-BMFF box walk -> mvhd duration).  Sample/pixel/frame-level
-features need real codecs (absent in this sandbox); a deployment
-registers richer decoders in place:
+MP4 (ISO-BMFF box walk -> mvhd duration).
+
+The `embedding` column is REAL — actual pixel / sample statistics, no
+codec library needed — for the uncompressed formats:
+
+  * image PPM (P6)  -> pixel_embedding over the raw RGB plane
+  * image BMP 24bpp -> pixel_embedding over the raw BGR plane
+  * audio WAV PCM16 -> sample_embedding over the int16 samples
+
+and a clearly-documented deterministic md5 stand-in for formats whose
+payload is entropy-coded (PNG IDAT, MP4 frames, compressed WAV): those
+need a real codec registered in place:
 
     multimodal.DECODERS["image"] = my_pil_decoder
 
-Each decoder takes bytes and returns a dict of feature columns; the
-deterministic fake used by default derives features from the byte content
-so tests can assert exact values.
+Each decoder takes bytes and returns a dict of feature columns including
+`embedding_real` (True when the embedding came from decoded pixels or
+samples).  Decoders never silently null — malformed bytes raise.
 """
 
 from __future__ import annotations
@@ -20,12 +29,14 @@ from __future__ import annotations
 import hashlib
 from collections.abc import Callable, Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
+    BooleanType,
     FloatType,
     IntegerType,
     LongType,
@@ -53,6 +64,7 @@ FEATURE_SCHEMA = StructType(
         StructField("n_bytes", LongType()),
         StructField("content_hash", StringType()),
         StructField("embedding", ArrayType(FloatType())),
+        StructField("embedding_real", BooleanType()),
         StructField("width", IntegerType()),
         StructField("height", IntegerType()),
         StructField("channels", IntegerType()),
@@ -77,7 +89,48 @@ def _fake_decode(payload: bytes) -> dict:
         "content_hash": digest.hex(),
         # 8-dim pseudo-embedding from the digest bytes, scaled to [0, 1)
         "embedding": [b / 256.0 for b in digest[:8]],
+        "embedding_real": False,
     }
+
+
+def pixel_embedding(rgb: np.ndarray) -> list[float]:
+    """Real 8-dim visual embedding from a decoded (h, w, 3) uint8 plane.
+
+    [mean_r, mean_g, mean_b, luma_std, luma quartile-bin fractions x4],
+    all in [0, 1].  Rec.601 luma weights; the quartile bins make the
+    vector a coarse luma histogram, so near-identical renders of the same
+    scene land near each other under the cosine/LSH near-dup operators
+    (dedup.embedding_near_dups, similarity.ann_topk) while the channel
+    means separate palette-shifted copies.
+    """
+    px = rgb.reshape(-1, 3).astype(np.float64) / 255.0
+    luma = px @ np.array([0.299, 0.587, 0.114])
+    hist = np.histogram(luma, bins=4, range=(0.0, 1.0))[0] / len(luma)
+    return [
+        float(v)
+        for v in (*px.mean(axis=0), luma.std(), *hist)
+    ]
+
+
+def sample_embedding(samples: np.ndarray) -> list[float]:
+    """Real 8-dim audio embedding from decoded PCM samples in [-1, 1].
+
+    [rms, mean_abs, zero-crossing rate, peak, |amplitude| quartile-bin
+    fractions x4] — the audio analog of pixel_embedding: loudness shape
+    plus a coarse envelope histogram, cheap enough to run inline in the
+    Arrow batch without a codec or FFT library.
+    """
+    s = samples.astype(np.float64)
+    zcr = float(np.mean(np.signbit(s[1:]) != np.signbit(s[:-1]))) if len(s) > 1 else 0.0
+    amp = np.abs(s)
+    hist = np.histogram(amp, bins=4, range=(0.0, 1.0))[0] / max(len(s), 1)
+    return [
+        float(np.sqrt(np.mean(s**2))),
+        float(amp.mean()),
+        zcr,
+        float(amp.max(initial=0.0)),
+        *(float(v) for v in hist),
+    ]
 
 
 def png_decode(payload: bytes) -> dict:
@@ -109,6 +162,125 @@ def png_decode(payload: bytes) -> dict:
     feats["width"] = width
     feats["height"] = height
     return feats
+
+
+def ppm_decode(payload: bytes) -> dict:
+    """Real image decoder INCLUDING pixels: binary PPM (P6).
+
+    PPM stores the RGB plane uncompressed, so a pure-Python parse yields
+    actual pixel values with no codec library: header is `P6`, then
+    whitespace-separated width/height/maxval tokens (with `#` comments),
+    one whitespace byte, then width*height*3 raw samples.  The embedding
+    is computed from the decoded pixels (pixel_embedding) — real, not the
+    md5 stand-in.  Maxval > 255 (2-byte samples) is rejected rather than
+    half-supported; malformed bytes raise.
+    """
+    if payload is None:
+        raise ValueError("cannot decode NULL payload")
+    if payload[:2] != b"P6":
+        raise ValueError("not a P6 PPM: bad magic")
+
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        if pos >= len(payload):
+            raise ValueError("not a P6 PPM: truncated header")
+        c = payload[pos : pos + 1]
+        if c.isspace():
+            pos += 1
+        elif c == b"#":
+            nl = payload.find(b"\n", pos)
+            pos = len(payload) if nl < 0 else nl + 1
+        elif c.isdigit():
+            start = pos
+            while pos < len(payload) and payload[pos : pos + 1].isdigit():
+                pos += 1
+            tokens.append(int(payload[start:pos]))
+        else:
+            raise ValueError("not a P6 PPM: junk in header")
+    width, height, maxval = tokens
+    if width == 0 or height == 0:
+        raise ValueError("PPM has a zero dimension")
+    if not 0 < maxval < 256:
+        raise ValueError(f"unsupported PPM maxval {maxval} (need 1..255)")
+    pos += 1  # the single whitespace byte after maxval
+    raster = payload[pos : pos + width * height * 3]
+    if len(raster) < width * height * 3:
+        raise ValueError("not a P6 PPM: truncated raster")
+    rgb = np.frombuffer(raster, dtype=np.uint8).reshape(height, width, 3)
+    if maxval != 255:  # rescale so the embedding is comparable across maxvals
+        rgb = (rgb.astype(np.float64) * (255.0 / maxval)).round().astype(np.uint8)
+    feats = _fake_decode(payload)
+    feats["width"] = width
+    feats["height"] = height
+    feats["embedding"] = pixel_embedding(rgb)
+    feats["embedding_real"] = True
+    return feats
+
+
+def bmp_decode(payload: bytes) -> dict:
+    """Real image decoder INCLUDING pixels: uncompressed 24-bit BMP.
+
+    BITMAPFILEHEADER ('BM', pixel-array offset at byte 10) +
+    BITMAPINFOHEADER (size >= 40: little-endian signed width/height,
+    bit_count, compression).  Only the codec-free shape is accepted —
+    24 bpp, BI_RGB — and rows are stored bottom-up (top-down when height
+    is negative) in BGR order, padded to 4-byte boundaries.  The
+    embedding is computed from the decoded pixels; anything compressed
+    or paletted raises so a real codec can be registered instead.
+    """
+    if payload is None:
+        raise ValueError("cannot decode NULL payload")
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP: bad signature")
+    pixel_off = int.from_bytes(payload[10:14], "little")
+    hdr_size = int.from_bytes(payload[14:18], "little")
+    if hdr_size < 40:
+        raise ValueError("not a BMP: BITMAPINFOHEADER shorter than 40 bytes")
+    width = int.from_bytes(payload[18:22], "little", signed=True)
+    height = int.from_bytes(payload[22:26], "little", signed=True)
+    bit_count = int.from_bytes(payload[28:30], "little")
+    compression = int.from_bytes(payload[30:34], "little")
+    if bit_count != 24 or compression != 0:
+        raise ValueError(
+            f"unsupported BMP shape (bpp={bit_count}, compression={compression}); "
+            "register a real codec for compressed/paletted BMPs"
+        )
+    if width <= 0 or height == 0:
+        raise ValueError("BMP has a non-positive width or zero height")
+    top_down = height < 0
+    height = abs(height)
+    stride = (width * 3 + 3) & ~3
+    raster = payload[pixel_off : pixel_off + stride * height]
+    if len(raster) < stride * height:
+        raise ValueError("not a BMP: truncated pixel array")
+    rows = np.frombuffer(raster, dtype=np.uint8).reshape(height, stride)
+    bgr = rows[:, : width * 3].reshape(height, width, 3)
+    if not top_down:
+        bgr = bgr[::-1]
+    feats = _fake_decode(payload)
+    feats["width"] = width
+    feats["height"] = height
+    feats["embedding"] = pixel_embedding(bgr[:, :, ::-1])
+    feats["embedding_real"] = True
+    return feats
+
+
+def image_decode(payload: bytes) -> dict:
+    """Default image decoder: dispatch on magic bytes.
+
+    PPM/BMP payloads get real pixel embeddings (uncompressed planes);
+    PNG gets real dims from the IHDR but a stand-in embedding until a
+    codec is registered (IDAT is DEFLATE-coded filtered scanlines — a
+    correct pure-Python inflate+unfilter is out of scope here, and a
+    half-right one would poison the near-dup operators downstream).
+    """
+    if payload is None:
+        raise ValueError("cannot decode NULL payload")
+    if payload[:2] == b"P6":
+        return ppm_decode(payload)
+    if payload[:2] == b"BM":
+        return bmp_decode(payload)
+    return png_decode(payload)
 
 
 def mp4_decode(payload: bytes) -> dict:
@@ -165,19 +337,19 @@ def mp4_decode(payload: bytes) -> dict:
 
 
 def wav_decode(payload: bytes) -> dict:
-    """Real audio decoder: pure-Python RIFF/WAVE chunk walk (the PNG
-    precedent — header-level features need no codec library).  Validates
-    the RIFF/WAVE container, reads the fmt chunk's channel count, sample
-    rate and byte rate, and derives duration_ms from the data chunk size.
-    Malformed payloads raise — corrupt blobs must fail loudly.  Sample-
-    level features (spectrograms, audio embeddings) still need a real
-    codec registered in its place.
+    """Real audio decoder: pure-Python RIFF/WAVE chunk walk, and for the
+    codec-free shape — PCM (format 1), 16-bit — real SAMPLE-level
+    features too: the int16 data chunk is parsed and the embedding is
+    computed from the decoded waveform (sample_embedding), not the md5
+    stand-in.  Compressed WAVs (format != 1) and other bit depths keep
+    the header features + stand-in embedding until a codec is registered.
+    Malformed payloads raise — corrupt blobs must fail loudly.
     """
     if payload is None:
         raise ValueError("cannot decode NULL payload")
     if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a WAV: bad RIFF/WAVE header")
-    pos, fmt, data_size = 12, None, None
+    pos, fmt, data = 12, None, None
     while pos + 8 <= len(payload):
         cid = payload[pos : pos + 4]
         size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
@@ -188,26 +360,32 @@ def wav_decode(payload: bytes) -> dict:
             if size < 16:
                 raise ValueError("not a WAV: fmt chunk shorter than 16 bytes")
             fmt = {
+                "format": int.from_bytes(body[0:2], "little"),
                 "channels": int.from_bytes(body[2:4], "little"),
                 "sample_rate": int.from_bytes(body[4:8], "little"),
                 "byte_rate": int.from_bytes(body[8:12], "little"),
+                "bits": int.from_bytes(body[14:16], "little"),
             }
         elif cid == b"data":
-            data_size = size
+            data = body
         pos += 8 + size + (size & 1)  # RIFF chunks are word-aligned
-    if fmt is None or data_size is None:
+    if fmt is None or data is None:
         raise ValueError("not a WAV: missing fmt or data chunk")
     if 0 in (fmt["channels"], fmt["sample_rate"], fmt["byte_rate"]):
         raise ValueError("WAV fmt has a zero field")
     feats = _fake_decode(payload)
     feats["channels"] = fmt["channels"]
     feats["sample_rate"] = fmt["sample_rate"]
-    feats["duration_ms"] = round(data_size * 1000 / fmt["byte_rate"])
+    feats["duration_ms"] = round(len(data) * 1000 / fmt["byte_rate"])
+    if fmt["format"] == 1 and fmt["bits"] == 16 and len(data) >= 2:
+        samples = np.frombuffer(data[: len(data) & ~1], dtype="<i2")
+        feats["embedding"] = sample_embedding(samples / 32768.0)
+        feats["embedding_real"] = True
     return feats
 
 
 DECODERS: dict[str, Callable[[bytes], dict]] = {
-    "image": png_decode,
+    "image": image_decode,
     "audio": wav_decode,
     "video": mp4_decode,
 }
@@ -241,6 +419,7 @@ def extract_features(media: DataFrame, batch_size: int = 256) -> DataFrame:
                     "n_bytes": [f["n_bytes"] for f in feats],
                     "content_hash": [f["content_hash"] for f in feats],
                     "embedding": [f["embedding"] for f in feats],
+                    "embedding_real": [f.get("embedding_real", False) for f in feats],
                     "width": pd.array(
                         [f.get("width") for f in feats], dtype="Int32"
                     ),
