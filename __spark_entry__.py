@@ -975,6 +975,62 @@ WHERE a.doc_id < b.doc_id
 """
 
 
+def q_lsh_capped(spark, sf_dir):
+    """LSH candidate pairs with the mega-bucket clique collapse
+    (max_bucket_size=2): buckets above the cap emit (bucket-min, member)
+    pairs only — the scale guard for boilerplate buckets whose all-pairs
+    output AQE's input-bytes skew heuristic cannot split.  At sf0.01 the
+    two size-3 buckets take the collapsed path, every size<=2 bucket the
+    exact path, so the oracle covers both branches."""
+    sh = D.shingles(_t(spark, sf_dir, "documents"), k=3)
+    sig = D.minhash_signatures(sh, num_hashes=4, compact=False)
+    return D.lsh_candidate_pairs(sig, num_hashes=4, bands=2, max_bucket_size=2)
+
+
+_ORACLE_KG["q_lsh_capped"] = """
+WITH toks AS (
+    SELECT doc_id,
+           string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+    FROM documents
+),
+grams AS (
+    SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+    FROM toks, unnest(range(1, greatest(len(t) - 3, 0) + 2)) AS u(i)
+),
+sig AS (
+    SELECT doc_id,
+        min(md5('seed0:' || shingle)) AS mh0,
+        min(md5('seed1:' || shingle)) AS mh1,
+        min(md5('seed2:' || shingle)) AS mh2,
+        min(md5('seed3:' || shingle)) AS mh3
+    FROM grams GROUP BY doc_id
+),
+banded AS (
+    SELECT doc_id, 0 AS band, md5(mh0 || '|' || mh1) AS bsig FROM sig
+    UNION ALL
+    SELECT doc_id, 1 AS band, md5(mh2 || '|' || mh3) AS bsig FROM sig
+),
+stats AS (
+    SELECT doc_id, band, bsig,
+           count(*) OVER (PARTITION BY band, bsig) AS n,
+           min(doc_id) OVER (PARTITION BY band, bsig) AS mn
+    FROM banded
+),
+small AS (SELECT doc_id, band, bsig FROM stats WHERE n <= 2),
+big AS (
+    SELECT mn AS id_a, doc_id AS id_b FROM stats
+    WHERE n > 2 AND doc_id <> mn
+)
+SELECT DISTINCT id_a, id_b FROM (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM small a JOIN small b ON a.band = b.band AND a.bsig = b.bsig
+    WHERE a.doc_id < b.doc_id
+    UNION ALL
+    SELECT id_a, id_b FROM big
+)
+"""
+
+
 def q_embed_near_dup(spark, sf_dir):
     """Embedding-cosine near-dup pairs via the exact (oracle-comparable)
     path of dedup.embedding_near_dups; the LSH bucket path is tested for
@@ -1882,6 +1938,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ngram_jaccard": q_ngram_jaccard,
         "q_simhash": q_simhash,
         "q_lsh_pairs": q_lsh_pairs,
+        "q_lsh_capped": q_lsh_capped,
         "q_connected_components": q_connected_components,
     }
 

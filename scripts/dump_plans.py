@@ -103,6 +103,32 @@ def main() -> None:
             )
         else:
             out.append(f"\n## {name} — {why}\n\n```\n{plan_of(df)}```\n")
+
+    scale_plan = Path("CORPUS_SCALE_PLAN.txt")
+    if scale_plan.exists():
+        out.append(
+            "\n## clean_corpus at 600k docs, planted 50k-doc boilerplate "
+            "mega-bucket (POST-EXECUTION, AQE final plan)\n\n"
+            "Produced by `scripts/corpus_at_scale.py 600000 32` (run stats in\n"
+            "CORPUS_SCALE.json, protocol in BENCH.md).  What to check, and why\n"
+            "each node is there:\n\n"
+            "- `AQEShuffleRead / Arguments: skewed` on\n"
+            "  `hashpartitioning(id_a, ...)` — the Jaccard verification join's\n"
+            "  pair side.  With `max_bucket_size` clique collapse, the mega\n"
+            "  bucket's ~50k pairs all carry the bucket-min as `id_a`, an\n"
+            "  input-sized hub skew that AQE splits at mapper boundaries.\n"
+            "  (The RAW mega-bucket skew — n^2/2 = 1.25e9 pairs out of an\n"
+            "  n-row input partition — is an OUTPUT explosion AQE's\n"
+            "  input-bytes heuristic cannot see; the cap converts it into\n"
+            "  this splittable form.  That asymmetry is why the cap exists.)\n"
+            "- `AQEShuffleRead / Arguments: coalesced` on the small\n"
+            "  post-filter exchanges — runtime right-sizing of the tiny side.\n"
+            "- zero `Scan parquet` nodes: both multi-consumer trunks (canon,\n"
+            "  shingles) are localCheckpoints (`Scan ExistingRDD`), so the\n"
+            "  corpus is scanned once per trunk, not once per consumer.\n\n"
+            f"```\n{scale_plan.read_text()}```\n"
+        )
+
     Path("PLANS.md").write_text("".join(out))
     print("wrote PLANS.md")
 

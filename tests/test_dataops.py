@@ -50,6 +50,48 @@ class TestDedup:
         assert (1, 2) in pair_set
         assert (4, 5) not in pair_set
 
+    def test_lsh_max_bucket_size_clique_collapse(self, spark):
+        """A planted mega-bucket (30 docs sharing one boilerplate trunk)
+        collapses to (bucket-min, member) pairs under max_bucket_size,
+        while small buckets keep the exact all-pairs list."""
+        trunk = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        rows = [(i, f"{trunk} tail{i}") for i in range(30)]
+        rows += [(100, "totally different text one here"),
+                 (101, "totally different text one here")]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        sh = dedup.shingles(docs, k=3)
+        sig = dedup.minhash_signatures(sh, num_hashes=4, compact=False)
+        capped = {
+            (r["id_a"], r["id_b"])
+            for r in dedup.lsh_candidate_pairs(
+                sig, num_hashes=4, bands=2, max_bucket_size=10
+            ).collect()
+        }
+        full = {
+            (r["id_a"], r["id_b"])
+            for r in dedup.lsh_candidate_pairs(sig, num_hashes=4, bands=2).collect()
+        }
+        # the small exact-dup bucket is identical in both shapes
+        assert (100, 101) in capped and (100, 101) in full
+        # collapse is lossless for the greedy smaller-id-wins drop rule:
+        # the droppable set (docs appearing as id_b) is identical...
+        mega_capped = {p for p in capped if p[1] < 100}
+        mega_full = {p for p in full if p[1] < 100}
+        assert {b for _, b in mega_capped} == {b for _, b in mega_full}
+        # ...while the member-member cross product is gone: only the
+        # per-band bucket minima remain as id_a (<= bands of them), and
+        # the pair count drops from quadratic to linear in bucket size
+        assert len({a for a, _ in mega_capped}) <= 2
+        assert len(mega_full) > 400 and len(mega_capped) < 2 * 30
+        # cap larger than every bucket == exact behavior
+        uncapped = {
+            (r["id_a"], r["id_b"])
+            for r in dedup.lsh_candidate_pairs(
+                sig, num_hashes=4, bands=2, max_bucket_size=1000
+            ).collect()
+        }
+        assert uncapped == full
+
     def test_ngram_jaccard(self, docs, spark):
         pairs = spark.createDataFrame([(1, 2), (1, 5)], "id_a long, id_b long")
         out = {(r["id_a"], r["id_b"]): r["jaccard"] for r in dedup.ngram_jaccard(docs, pairs).collect()}

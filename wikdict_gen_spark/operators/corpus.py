@@ -49,6 +49,7 @@ def clean_corpus(
     text_col: str = "text",
     compact: bool = True,
     materialize: bool = True,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Surviving documents of the full prep pipeline.
 
@@ -65,7 +66,11 @@ def clean_corpus(
     hash carrying the full row (no join back); candidates come from
     banded LSH buckets, so the pair count is driven by real collisions,
     not |docs|²; Jaccard runs only on those pairs, against the one
-    materialized shingle table.
+    materialized shingle table.  At web scale pass `max_bucket_size`:
+    boilerplate mega-buckets are clique-collapsed to (bucket-min,
+    member) pairs — lossless for the greedy drop rule, and it bounds
+    the n^2 pair explosion AQE cannot split (input-bytes heuristic;
+    see lsh_candidate_pairs).
     """
     # quality_score is a withColumn — the gated frame IS the good-docs
     # frame, every input column intact (a join back to docs would be a
@@ -92,7 +97,8 @@ def clean_corpus(
     sig = D.minhash_signatures(sh, id_col=id_col,
                                num_hashes=num_hashes, compact=compact)
     pairs = D.lsh_candidate_pairs(sig, id_col=id_col,
-                                  num_hashes=num_hashes, bands=bands)
+                                  num_hashes=num_hashes, bands=bands,
+                                  max_bucket_size=max_bucket_size)
     verified = D.ngram_jaccard(None, pairs, id_col=id_col,
                                shingles_df=sh).where(
         F.col("jaccard") >= F.lit(float(jaccard_threshold))

@@ -108,13 +108,26 @@ def minhash_signatures(sh: DataFrame, id_col: str = "doc_id",
 
 
 def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
-                        num_hashes: int = 16, bands: int = 4) -> DataFrame:
+                        num_hashes: int = 16, bands: int = 4,
+                        max_bucket_size: int | None = None) -> DataFrame:
     """Band the signatures and bucket-join: docs sharing any band signature
     become a candidate pair (id_a < id_b, distinct).
 
-    The shuffle key is (band_idx, band_signature) — hot buckets (boilerplate
-    text) are the skew point; AQE splits them and the band hash spreads
-    distinct contents.
+    The shuffle key is (band_idx, band_signature) — hot buckets
+    (boilerplate text) are the skew point, and they are an OUTPUT
+    explosion: an n-doc bucket emits n^2/2 pairs from an input partition
+    of only n rows, so AQE's skew-join split (which inspects input
+    bytes) never fires on it and one join task quietly produces the
+    cross product.  `max_bucket_size` is the scale guard: buckets above
+    it are clique-collapsed — every member pairs with the bucket's
+    minimum id only (n-1 pairs instead of n^2/2).  For near-dup REMOVAL
+    under the greedy smaller-id-wins rule this is lossless within the
+    bucket (members verify against the canonical min directly); what it
+    gives up is the non-canonical member-member pair list, which only
+    full clustering needs.  Measured at 600k docs with a planted 50k-doc
+    boilerplate bucket: 1.25e9 raw pairs -> 1e5, and the resulting
+    hub-key skew in the verification join IS input-sized, so AQE splits
+    it (CORPUS_SCALE.json / PLANS.md).
     """
     rows_per_band = num_hashes // bands
     banded = signatures.select(
@@ -143,16 +156,35 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
             )
         ).alias("bs"),
     ).select(id_col, F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+    if max_bucket_size is not None:
+        # one window pass on the same (band, sig) shuffle key computes the
+        # bucket stats; small buckets keep the exact all-pairs join, big
+        # ones collapse to (bucket_min, member) with no join at all
+        w = Window.partitionBy("band", "sig")
+        stats = banded.withColumn("__n", F.count(F.lit(1)).over(w)).withColumn(
+            "__mn", F.min(id_col).over(w)
+        )
+        big = (
+            stats.where(
+                (F.col("__n") > max_bucket_size) & (F.col(id_col) != F.col("__mn"))
+            )
+            .select(F.col("__mn").alias("id_a"), F.col(id_col).alias("id_b"))
+        )
+        banded = stats.where(F.col("__n") <= max_bucket_size).select(
+            id_col, "band", "sig"
+        )
     a = banded.alias("a")
     b = banded.alias("b")
-    return (
+    pairs = (
         a.join(b, ["band", "sig"])
         .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
         .select(
             F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
         )
-        .distinct()
     )
+    if max_bucket_size is not None:
+        pairs = pairs.unionByName(big)
+    return pairs.distinct()
 
 
 def ngram_jaccard(docs: DataFrame | None, pairs: DataFrame, id_col: str = "doc_id",
