@@ -156,7 +156,7 @@ def test_extract_features_deterministic(spark, media):
     assert out[1]["content_hash"] == want
     assert out[1]["n_bytes"] == len(PNG_64x48)
     assert len(out[1]["embedding"]) == 8
-    assert all(0.0 <= x < 1.0 for x in out[1]["embedding"])
+    assert all(0.0 <= x <= 1.0 for x in out[1]["embedding"])
     # same bytes -> same features; different bytes -> different hash
     assert out[1]["content_hash"] != out[2]["content_hash"]
 
@@ -330,9 +330,93 @@ def test_wav_real_sample_embedding():
     )
 
 
+def png_filter_rows(px, filters):
+    """Forward-filter an (h, w, 3) uint8 array per PNG spec — the
+    encoder side, implemented independently of the decoder under test."""
+    h, w, _ = px.shape
+    out = bytearray()
+    prev = bytes(w * 3)
+    for y, f in zip(range(h), filters):
+        raw = bytes(px[y].reshape(-1))
+        line = bytearray([f])
+        for i in range(len(raw)):
+            a = raw[i - 3] if i >= 3 else 0
+            b = prev[i]
+            c = prev[i - 3] if i >= 3 else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) // 2
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+            line.append((raw[i] - pred) & 0xFF)
+        out += line
+        prev = raw
+    return bytes(out)
+
+
+def make_rgb_png(px, filters) -> bytes:
+    """Valid RGB8 PNG with the given per-row filter types."""
+
+    def chunk(tag, data):
+        body = tag + data
+        return struct.pack(">I", len(data)) + body + struct.pack(">I", zlib.crc32(body))
+
+    h, w, _ = px.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(png_filter_rows(px, filters)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_png_pixels_all_filters():
+    """Round-trip a deterministic RGB image through every PNG filter
+    type (None/Sub/Up/Average/Paeth) — decode must recover the exact
+    pixel array the independent test-side encoder filtered."""
+    import numpy as np
+
+    h, w = 5, 7
+    px = np.array(
+        [[( (3 * x + 11 * y) % 256, (7 * x * y + 5) % 256, (x * x + y) % 256)
+           for x in range(w)] for y in range(h)],
+        dtype=np.uint8,
+    )
+    got = multimodal.png_pixels(make_rgb_png(px, [0, 1, 2, 3, 4]))
+    assert got.shape == (h, w, 3)
+    assert (got == px).all()
+
+
+def test_png_unsupported_shape_falls_back():
+    """A valid 16-bit PNG keeps real dims but the stand-in embedding."""
+    def chunk(tag, data):
+        body = tag + data
+        return struct.pack(">I", len(data)) + body + struct.pack(">I", zlib.crc32(body))
+
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0)
+    raw = b"".join(b"\x00" + bytes(4) for _ in range(2))
+    png16 = (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+    )
+    f = multimodal.png_decode(png16)
+    assert (f["width"], f["height"]) == (2, 2)
+    assert f["embedding_real"] is False
+    digest = hashlib.md5(png16).digest()
+    assert f["embedding"] == pytest.approx([b / 256.0 for b in digest[:8]])
+
+
 def test_embedding_real_flag_end_to_end(spark):
-    """PPM/BMP/PCM-WAV rows come back embedding_real=true with pixel
-    stats; PNG/MP4 keep the documented md5 stand-in, flagged false."""
+    """PPM/BMP/PNG/PCM-WAV rows come back embedding_real=true with
+    pixel/sample stats; MP4 keeps the documented md5 stand-in."""
     rows = [
         (1, "image", make_ppm(SCENE, 2, 2), "image/x-portable-pixmap", None, None, None),
         (2, "image", make_bmp(SCENE, 2, 2), "image/bmp", None, None, None),
@@ -344,11 +428,12 @@ def test_embedding_real_flag_end_to_end(spark):
     out = {r["media_id"]: r for r in multimodal.extract_features(df).collect()}
     want = scene_expected_embedding()
     assert out[1]["embedding_real"] and out[2]["embedding_real"] and out[4]["embedding_real"]
-    assert not out[3]["embedding_real"] and not out[5]["embedding_real"]
+    assert not out[5]["embedding_real"]
     assert list(out[1]["embedding"]) == pytest.approx(want, abs=1e-6)
     assert list(out[2]["embedding"]) == pytest.approx(want, abs=1e-6)
-    # the PNG stand-in is still the documented md5 derivation
-    digest = hashlib.md5(PNG_64x48).digest()
+    # the all-black grayscale test PNG now decodes for real: zero means,
+    # zero luma std, all luma mass in the darkest quartile bin
+    assert out[3]["embedding_real"]
     assert list(out[3]["embedding"]) == pytest.approx(
-        [b / 256.0 for b in digest[:8]], abs=1e-6
+        [0.0, 0.0, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0], abs=1e-6
     )

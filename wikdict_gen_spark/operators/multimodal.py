@@ -11,11 +11,14 @@ codec library needed — for the uncompressed formats:
 
   * image PPM (P6)  -> pixel_embedding over the raw RGB plane
   * image BMP 24bpp -> pixel_embedding over the raw BGR plane
+  * image PNG       -> pixel_embedding after stdlib-zlib inflate +
+                       scanline unfilter (8-bit gray/RGB/RGBA,
+                       non-interlaced; see png_pixels)
   * audio WAV PCM16 -> sample_embedding over the int16 samples
 
-and a clearly-documented deterministic md5 stand-in for formats whose
-payload is entropy-coded (PNG IDAT, MP4 frames, compressed WAV): those
-need a real codec registered in place:
+and a clearly-documented deterministic md5 stand-in for the shapes
+that genuinely need a codec (palette/16-bit/interlaced PNG, MP4
+frames, compressed WAV) — register one in place:
 
     multimodal.DECODERS["image"] = my_pil_decoder
 
@@ -140,8 +143,10 @@ def png_decode(payload: bytes) -> dict:
     signature, the mandatory first chunk (13-byte IHDR, CRC-verified)
     and its big-endian width/height (PNG spec §5.2/§11.2.2).  Malformed
     payloads raise — schema drift and corrupt blobs must fail loudly,
-    not propagate NULL dims.  Pixel-level features (resize, visual
-    embedding) still need a real codec registered in its place.
+    not propagate NULL dims.  For 8-bit gray/RGB/RGBA non-interlaced
+    payloads the embedding is REAL pixel statistics via png_pixels
+    (stdlib zlib inflate + scanline unfilter); palette/16-bit/
+    interlaced shapes keep the stand-in until a codec is registered.
     """
     import zlib
 
@@ -161,7 +166,99 @@ def png_decode(payload: bytes) -> dict:
     feats = _fake_decode(payload)
     feats["width"] = width
     feats["height"] = height
+    try:
+        feats["embedding"] = pixel_embedding(png_pixels(payload))
+        feats["embedding_real"] = True
+    except UnsupportedMediaShape:
+        pass  # valid but codec-needing shape: keep the documented stand-in
     return feats
+
+
+class UnsupportedMediaShape(ValueError):
+    """A VALID payload in a shape this codec-free decoder doesn't cover
+    (palette/16-bit/interlaced PNG, ...): header features stay real, the
+    embedding falls back to the documented stand-in.  Malformed payloads
+    raise plain ValueError and fail the job loudly."""
+
+
+def png_pixels(payload: bytes) -> "np.ndarray":
+    """Decode PNG pixels to an (h, w, 3) uint8 RGB plane — pure Python.
+
+    zlib (stdlib) inflates the IDAT stream; the five scanline filters
+    (PNG spec §9: None/Sub/Up/Average/Paeth) are undone per row.  The
+    codec-free shapes are supported: bit depth 8, color type 0 (gray),
+    2 (RGB) or 6 (RGBA, alpha dropped), non-interlaced.  Palette,
+    16-bit and Adam7 payloads raise — register a real codec for those.
+    Sub/Average/Paeth recurrences are per-pixel sequential by
+    definition; Up is vectorized.  Fine for bench fixtures — at scale a
+    registered native codec replaces this whole function.
+    """
+    if len(payload) < 33 or payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG: bad signature")
+    pos, width = 8, None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        length = int.from_bytes(payload[pos : pos + 4], "big")
+        tag = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + length]
+        if len(body) < length:
+            raise ValueError("not a PNG: truncated chunk")
+        if tag == b"IHDR":
+            width = int.from_bytes(body[0:4], "big")
+            height = int.from_bytes(body[4:8], "big")
+            depth, color, interlace = body[8], body[9], body[12]
+            if depth != 8 or color not in (0, 2, 6) or interlace != 0:
+                raise UnsupportedMediaShape(
+                    f"unsupported PNG shape (depth={depth}, color_type={color}, "
+                    f"interlace={interlace}); register a real codec"
+                )
+            ch = {0: 1, 2: 3, 6: 4}[color]
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    if width is None or not idat:
+        raise ValueError("not a PNG: missing IHDR or IDAT")
+    import zlib
+
+    raw = zlib.decompress(bytes(idat))
+    stride = width * ch
+    if len(raw) != (stride + 1) * height:
+        raise ValueError("not a PNG: IDAT size does not match dimensions")
+    rows = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride + 1)
+    out = np.zeros((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(height):
+        f, line = rows[y, 0], rows[y, 1:].astype(np.int32)
+        if f == 0:
+            cur = line
+        elif f == 2:  # Up
+            cur = line + prev
+        elif f in (1, 3, 4):  # Sub / Average / Paeth: left-recurrent
+            cur = line.copy()
+            for i in range(stride):
+                a = cur[i - ch] if i >= ch else 0
+                b = int(prev[i])
+                if f == 1:
+                    cur[i] += a
+                elif f == 3:
+                    cur[i] += (int(a) + b) // 2
+                else:
+                    c = int(prev[i - ch]) if i >= ch else 0
+                    p = int(a) + b - c
+                    pa, pb, pc = abs(p - int(a)), abs(p - b), abs(p - c)
+                    pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                    cur[i] += pred
+                cur[i] &= 0xFF
+        else:
+            raise ValueError(f"not a PNG: unknown filter type {f}")
+        prev = (cur & 0xFF).astype(np.uint8)
+        out[y] = prev
+    px = out.reshape(height, width, ch)
+    if ch == 1:
+        return np.repeat(px, 3, axis=2)
+    return px[:, :, :3]
 
 
 def ppm_decode(payload: bytes) -> dict:
@@ -268,11 +365,10 @@ def bmp_decode(payload: bytes) -> dict:
 def image_decode(payload: bytes) -> dict:
     """Default image decoder: dispatch on magic bytes.
 
-    PPM/BMP payloads get real pixel embeddings (uncompressed planes);
-    PNG gets real dims from the IHDR but a stand-in embedding until a
-    codec is registered (IDAT is DEFLATE-coded filtered scanlines — a
-    correct pure-Python inflate+unfilter is out of scope here, and a
-    half-right one would poison the near-dup operators downstream).
+    PPM/BMP payloads get real pixel embeddings from the uncompressed
+    planes; PNG gets them via stdlib zlib + scanline unfilter for the
+    8-bit non-interlaced shapes (png_pixels), falling back to the
+    documented stand-in for palette/16-bit/interlaced payloads.
     """
     if payload is None:
         raise ValueError("cannot decode NULL payload")
