@@ -731,6 +731,79 @@ def q_quality_score(spark, sf_dir):
     return T.quality_score(_t(spark, sf_dir, "documents")).select("doc_id", "quality")
 
 
+def q_repetition(spark, sf_dir):
+    """Gopher-style repetition signals (textstats.repetition_stats):
+    duplicate-line fractions, most-common-bigram fraction, longest
+    same-token run — the standard web-corpus boilerplate filters, all
+    JVM column arithmetic.  Integer-ratio doubles are IEEE-exact in both
+    engines, so the row sits under the full hash compare."""
+    return T.repetition_stats(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "dup_line_frac", "dup_line_char_frac",
+        "top_bigram_frac", "max_word_run_frac",
+    )
+
+
+_ORACLE_KG["q_repetition"] = """
+WITH base AS (
+    SELECT doc_id,
+        string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks,
+        list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),
+                    l -> l <> '') AS lines
+    FROM documents
+),
+linestats AS (
+    SELECT doc_id,
+        len(lines) AS n_lines,
+        len(list_distinct(lines)) AS n_dlines,
+        coalesce(list_sum(list_transform(lines, l -> length(l))), 0) AS line_chars,
+        coalesce(list_sum(list_transform(list_distinct(lines), l -> length(l))), 0)
+            AS dline_chars
+    FROM base
+),
+tokrows AS (
+    SELECT doc_id, i, toks[i] AS tok, len(toks) AS n_tok
+    FROM base, unnest(range(1, len(toks) + 1)) AS u(i)
+),
+runs AS (
+    SELECT doc_id, max(cnt) AS max_run, any_value(n_tok) AS n_tok
+    FROM (
+        SELECT doc_id, tok, n_tok, count(*) AS cnt
+        FROM (
+            SELECT doc_id, tok, n_tok,
+                   i - row_number() OVER (PARTITION BY doc_id, tok ORDER BY i) AS grp
+            FROM tokrows
+        )
+        GROUP BY doc_id, tok, n_tok, grp
+    )
+    GROUP BY doc_id
+),
+bigrams AS (
+    SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS bg
+    FROM base, unnest(range(1, len(toks))) AS u(i)
+    WHERE len(toks) >= 2
+),
+bgstats AS (
+    SELECT doc_id, max(cnt) AS top_bg, sum(cnt) AS n_bg
+    FROM (SELECT doc_id, bg, count(*) AS cnt FROM bigrams GROUP BY doc_id, bg)
+    GROUP BY doc_id
+)
+SELECT l.doc_id,
+    CASE WHEN l.n_lines > 0
+         THEN (l.n_lines - l.n_dlines) * 1.0 / l.n_lines ELSE 0.0 END
+        AS dup_line_frac,
+    CASE WHEN l.line_chars > 0
+         THEN (l.line_chars - l.dline_chars) * 1.0 / l.line_chars ELSE 0.0 END
+        AS dup_line_char_frac,
+    CASE WHEN b.n_bg > 0 THEN b.top_bg * 1.0 / b.n_bg ELSE 0.0 END
+        AS top_bigram_frac,
+    CASE WHEN r.n_tok >= 2 THEN r.max_run * 1.0 / r.n_tok ELSE 0.0 END
+        AS max_word_run_frac
+FROM linestats l
+LEFT JOIN runs r USING (doc_id)
+LEFT JOIN bgstats b USING (doc_id)
+"""
+
+
 def _stopword_sql_list() -> str:
     all_words = sorted({w for ws in T.STOPWORDS.values() for w in ws})
     return ", ".join(f"'{w}'" for w in all_words)
@@ -1916,6 +1989,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_minhash_signature": q_minhash_signature,
         "q_token_count": q_token_count,
         "q_quality_score": q_quality_score,
+        "q_repetition": q_repetition,
         "q_fingerprint": q_fingerprint,
         "q_language_id": q_language_id,
         "q_ann_topk": q_ann_topk,

@@ -344,6 +344,34 @@ class TestTextStats:
         by_id = {r["doc_id"]: r["quality"] for r in out}
         assert by_id[1] >= 0.75  # clean english sentence
 
+    def test_repetition_stats(self, spark):
+        """Hand-computed Gopher repetition signals on planted docs."""
+        rows = [
+            # 4 lines, 'same line' repeated 3x (2 repeat occurrences):
+            # dup_line_frac = 2/4; chars: 3*9+5=32 total, 9+5=14 distinct
+            # -> dup_line_char_frac = 18/32
+            (1, "same line\nsame line\nsame line\nother"),
+            # "ha ha ha ha gut": run of 4 'ha' / 5 toks; bigrams:
+            # 'ha ha' x3 of 4 -> top_bigram_frac = 0.75
+            (2, "ha ha ha ha gut"),
+            # no repetition anywhere
+            (3, "all words differ here truly"),
+            # degenerate: single token
+            (4, "solo"),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r["doc_id"]: r for r in textstats.repetition_stats(docs).collect()}
+        assert out[1]["dup_line_frac"] == pytest.approx(2 / 4)
+        assert out[1]["dup_line_char_frac"] == pytest.approx(18 / 32)
+        assert out[2]["max_word_run_frac"] == pytest.approx(4 / 5)
+        assert out[2]["top_bigram_frac"] == pytest.approx(3 / 4)
+        assert out[3]["dup_line_frac"] == 0.0
+        assert out[3]["top_bigram_frac"] == pytest.approx(1 / 4)  # all unique
+        assert out[3]["max_word_run_frac"] == pytest.approx(1 / 5)
+        assert all(out[4][c] == 0.0 for c in (
+            "dup_line_frac", "dup_line_char_frac",
+            "top_bigram_frac", "max_word_run_frac"))
+
     def test_fingerprint_dup_detection(self, docs):
         out = {r["doc_id"]: (r["fp_exact"], r["fp_winnow"]) for r in textstats.fingerprint(docs).collect()}
         assert out[1][0] == out[2][0]  # normalized exact dup
