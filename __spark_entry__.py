@@ -713,6 +713,24 @@ FROM grams GROUP BY doc_id
 """
 
 
+def q_minhash_inline(spark, sf_dir):
+    """The shuffle-free signature path (dedup.minhash_signatures_inline):
+    same algorithm as q_minhash_signature but computed row-locally with
+    array HOFs — no explode, no distinct shuffle, no groupBy.  Shares
+    q_minhash_signature's oracle SQL verbatim: the two plans must agree
+    value-for-value."""
+    sig = D.minhash_signatures_inline(
+        _t(spark, sf_dir, "documents"), k=3, num_hashes=4, compact=False
+    )
+    return sig.select(
+        "doc_id",
+        *[F.element_at("minhash", i + 1).alias(f"mh{i}") for i in range(4)],
+    )
+
+
+_ORACLE_KG["q_minhash_inline"] = _ORACLE_KG["q_minhash_signature"]
+
+
 def q_token_count(spark, sf_dir):
     return T.token_count(_t(spark, sf_dir, "documents")).select(
         "doc_id", "n_tokens", "n_subword_est"
@@ -1987,6 +2005,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stream_event_windows": q_stream_event_windows,
         "q_exact_dedup": q_exact_dedup,
         "q_minhash_signature": q_minhash_signature,
+        "q_minhash_inline": q_minhash_inline,
         "q_token_count": q_token_count,
         "q_quality_score": q_quality_score,
         "q_repetition": q_repetition,

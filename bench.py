@@ -43,8 +43,9 @@ HEADLINE = [
     "q_topk_mean_norm",
     "q_window_rank",
     "q_exact_dedup",
-    "q_minhash_signature",   # md5-hex oracle-portable shape
+    "q_minhash_signature",   # md5-hex oracle-portable shape (shingle-table path)
     "q_minhash_compact",     # xxhash64 production default (bench-only row)
+    "q_minhash_inline",      # row-local HOF path: zero shuffles, same values
     "q_language_id",
     "q_ann_topk",
     "q_token_index",          # FTS inverted index with form discount

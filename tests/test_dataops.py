@@ -50,6 +50,25 @@ class TestDedup:
         assert (1, 2) in pair_set
         assert (4, 5) not in pair_set
 
+    def test_minhash_inline_equals_table_path(self, docs):
+        """The row-local HOF signature path must agree value-for-value
+        with the shingle-table path, in both hash shapes."""
+        sh = dedup.shingles(docs, k=3)
+        for compact in (False, True):
+            table = {
+                r["doc_id"]: list(r["minhash"])
+                for r in dedup.minhash_signatures(
+                    sh, num_hashes=8, compact=compact
+                ).collect()
+            }
+            inline = {
+                r["doc_id"]: list(r["minhash"])
+                for r in dedup.minhash_signatures_inline(
+                    docs, k=3, num_hashes=8, compact=compact
+                ).collect()
+            }
+            assert inline == table
+
     def test_lsh_max_bucket_size_clique_collapse(self, spark):
         """A planted mega-bucket (30 docs sharing one boilerplate trunk)
         collapses to (bucket-min, member) pairs under max_bucket_size,

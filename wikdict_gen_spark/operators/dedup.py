@@ -69,6 +69,57 @@ def shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     )
 
 
+def minhash_signatures_inline(docs: DataFrame, id_col: str = "doc_id",
+                              text_col: str = "text", k: int = 3,
+                              num_hashes: int = 16,
+                              compact: bool = True) -> DataFrame:
+    """MinHash signatures computed ROW-LOCALLY — zero shuffles.
+
+    A document's signature is min over ITS OWN shingle set per seed:
+    nothing crosses rows, so the explode + distinct + groupBy-min of the
+    shingle-table path (shingles -> minhash_signatures, two shuffles)
+    is pure overhead when the caller does not also need the exploded
+    table.  Here the whole derivation — tokenize, k-gram, dedup, hash,
+    min — is array HOFs in a single scan->project plan (0 Exchange
+    nodes, measured); the only shuffle in an LSH flow built on this is
+    the bucket join itself.  At sf0.1 wall time equals the table path
+    (both are md5-bound); the win is the two shuffles of the full
+    shingle set that never happen — at cluster scale that is the
+    dominant cost of the signature stage.  Output and semantics are
+    identical to minhash_signatures (q_minhash_inline pins equality
+    under the same oracle SQL); keep the table path when the shingle
+    table is shared with Jaccard verification (clean_corpus
+    materializes it once for both consumers).
+    """
+    toks = F.split(_norm_text(F.col(text_col)), " ")
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0))),
+            lambda i: F.array_join(F.slice(toks, i + 1, k), " "),
+        )
+    )
+    # project the gram array FIRST: the per-seed min columns below each
+    # reference it, and expression trees are not CSE'd across columns —
+    # inlining `grams` directly re-ran tokenize+k-gram+distinct once per
+    # seed (measured 3.5x slower; CollapseProject declines to merge the
+    # two Projects because __grams has multiple non-cheap references)
+    gcol = docs.select(F.col(id_col), grams.alias("__grams"))
+
+    # NB: build per-seed lambdas via a factory — `lambda s, i=i: ...`
+    # has two parameters, which pyspark's HOF introspection treats as an
+    # (element, index) lambda and binds the index Column over the seed
+    def _seed_hash(i):
+        if compact:
+            return lambda s: F.xxhash64(F.lit(f"seed{i}:"), s)
+        return lambda s: F.md5(F.concat(F.lit(f"seed{i}:"), s))
+
+    mins = [
+        F.array_min(F.transform(F.col("__grams"), _seed_hash(i))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    return gcol.select(F.col(id_col), F.array(*mins).alias("minhash"))
+
+
 def minhash_signatures(sh: DataFrame, id_col: str = "doc_id",
                        num_hashes: int = 16, compact: bool = True) -> DataFrame:
     """MinHash signature per doc: for seed i, min over hash(i || shingle).
