@@ -996,6 +996,77 @@ JOIN sizes sb ON sb.doc_id = i.id_b
 """
 
 
+def q_near_dup_clusters(spark, sf_dir):
+    """Transitive near-dup clustering (dedup.near_dup_clusters): LSH
+    candidates -> Jaccard-verified edges -> connected components ->
+    every doc labeled with its component-min cluster id (singletons map
+    to themselves).  The DuckDB oracle re-derives the whole chain
+    independently, closing the components with a recursive CTE seeded
+    by ALL doc ids."""
+    return D.near_dup_clusters(
+        _t(spark, sf_dir, "documents"),
+        jaccard_threshold=0.5, num_hashes=4, bands=2, k=3, compact=False,
+    )
+
+
+_ORACLE_KG["q_near_dup_clusters"] = """
+WITH RECURSIVE
+toks AS (
+    SELECT doc_id,
+           string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+    FROM documents
+),
+grams AS (
+    SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+    FROM toks, unnest(range(1, greatest(len(t) - 3, 0) + 2)) AS u(i)
+),
+sig AS (
+    SELECT doc_id,
+        min(md5('seed0:' || shingle)) AS mh0,
+        min(md5('seed1:' || shingle)) AS mh1,
+        min(md5('seed2:' || shingle)) AS mh2,
+        min(md5('seed3:' || shingle)) AS mh3
+    FROM grams GROUP BY doc_id
+),
+banded AS (
+    SELECT doc_id, 0 AS band, md5(mh0 || '|' || mh1) AS bsig FROM sig
+    UNION ALL
+    SELECT doc_id, 1 AS band, md5(mh2 || '|' || mh3) AS bsig FROM sig
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM banded a JOIN banded b ON a.band = b.band AND a.bsig = b.bsig
+    WHERE a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY 1),
+inter AS (
+    SELECT p.id_a, p.id_b, count(*) AS n_inter
+    FROM cand p
+    JOIN grams ga ON ga.doc_id = p.id_a
+    JOIN grams gb ON gb.doc_id = p.id_b AND gb.shingle = ga.shingle
+    GROUP BY 1, 2
+),
+verified AS (
+    SELECT i.id_a, i.id_b
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.id_a
+    JOIN sizes sb ON sb.doc_id = i.id_b
+    WHERE i.n_inter * 1.0 / (sa.n + sb.n - i.n_inter) >= 0.5
+),
+sym AS (
+    SELECT id_a AS u, id_b AS v FROM verified
+    UNION
+    SELECT id_b AS u, id_a AS v FROM verified
+),
+reach(node, r) AS (
+    SELECT doc_id AS node, doc_id AS r FROM documents
+    UNION
+    SELECT s.u AS node, reach.r FROM sym s JOIN reach ON reach.node = s.v
+)
+SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node
+"""
+
+
 def q_simhash(spark, sf_dir):
     """SimHash fingerprints (dedup.simhash, 16 md5-nibble-parity bits) —
     integer bit sums, sign -> bit string; fully portable."""
@@ -2032,6 +2103,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_simhash": q_simhash,
         "q_lsh_pairs": q_lsh_pairs,
         "q_lsh_capped": q_lsh_capped,
+        "q_near_dup_clusters": q_near_dup_clusters,
         "q_connected_components": q_connected_components,
     }
 

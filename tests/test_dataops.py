@@ -111,6 +111,31 @@ class TestDedup:
         }
         assert uncapped == full
 
+    def test_near_dup_clusters_transitive(self, spark):
+        """A~B and B~C verified but A-C below threshold: clustering must
+        still put all three in one component (the greedy rule's gap)."""
+        # A/B differ in the last 3 words (jaccard 15/21 = 0.71), B/C in
+        # the first 4 (14/22 = 0.64); A/C differ in both ends: 11/25 =
+        # 0.44 < threshold — only the transitive closure links A to C
+        a = " ".join(f"w{i}" for i in range(20))
+        b = " ".join((f"w{i}" if i < 17 else f"x{i}") for i in range(20))
+        c = " ".join((f"y{i}" if i < 4 else (f"w{i}" if i < 17 else f"x{i}"))
+                     for i in range(20))
+        rows = [(1, a), (2, b), (3, c),
+                (10, "completely different text about spark engines"),
+                (11, "another unrelated document about benchmarks")]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r["doc_id"]: r["cluster_id"]
+               for r in dedup.near_dup_clusters(
+                   docs, jaccard_threshold=0.5, num_hashes=8, bands=4
+               ).collect()}
+        assert out[1] == out[2] == out[3] == 1
+        assert out[10] == 10 and out[11] == 11
+        # sanity: A-C alone is BELOW the threshold (the transitive case)
+        pairs = spark.createDataFrame([(1, 3)], "id_a long, id_b long")
+        j = dedup.ngram_jaccard(docs, pairs, k=3).collect()
+        assert not j or j[0]["jaccard"] < 0.5
+
     def test_ngram_jaccard(self, docs, spark):
         pairs = spark.createDataFrame([(1, 2), (1, 5)], "id_a long, id_b long")
         out = {(r["id_a"], r["id_b"]): r["jaccard"] for r in dedup.ngram_jaccard(docs, pairs).collect()}

@@ -279,6 +279,63 @@ def ngram_jaccard(docs: DataFrame | None, pairs: DataFrame, id_col: str = "doc_i
     )
 
 
+def near_dup_clusters(
+    docs: DataFrame,
+    jaccard_threshold: float = 0.5,
+    num_hashes: int = 4,
+    bands: int = 2,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    compact: bool = True,
+    max_bucket_size: int | None = None,
+    materialize: bool = True,
+) -> DataFrame:
+    """Transitive near-dup clusters: (id, cluster_id = component-min id).
+
+    The greedy drop rule (clean_corpus) removes any doc verified against
+    a smaller id; clustering is its transitive closure — docs A-B and
+    B-C verified makes {A,B,C} ONE cluster even if A-C never collided —
+    which is what canonical-selection, dedup accounting and
+    contamination analysis actually need.  Pipeline: shared shingle
+    table (materialized once for signatures + both Jaccard sides, the
+    clean_corpus discipline) -> banded LSH candidates -> Jaccard
+    verification -> alternating-star connected components
+    (canonicalize.connected_components, the S7 primitive) -> left join
+    back so singleton docs map to themselves.  With `max_bucket_size`
+    the collapsed mega-bucket emits a (bucket-min, member) star whose
+    VERIFIED edges keep the bucket connected through the min; a member
+    pair that fails against the min but would have verified member-
+    member is the same recall trade the greedy rule makes.
+    """
+    from pyspark import StorageLevel
+
+    from wikdict_gen_spark.operators import canonicalize as CC
+
+    sh = shingles(docs, id_col=id_col, text_col=text_col, k=k)
+    if materialize:
+        sh = sh.localCheckpoint(
+            eager=False, storageLevel=StorageLevel(True, True, False, False, 1)
+        )
+    sig = minhash_signatures(sh, id_col=id_col, num_hashes=num_hashes,
+                             compact=compact)
+    pairs = lsh_candidate_pairs(sig, id_col=id_col, num_hashes=num_hashes,
+                                bands=bands, max_bucket_size=max_bucket_size)
+    verified = ngram_jaccard(None, pairs, id_col=id_col, shingles_df=sh).where(
+        F.col("jaccard") >= F.lit(float(jaccard_threshold))
+    )
+    edges = verified.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+    mapping = CC.connected_components(edges).withColumnRenamed("node", id_col)
+    return (
+        docs.select(id_col)
+        .join(mapping, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("canonical"), F.col(id_col)).alias("cluster_id"),
+        )
+    )
+
+
 def embedding_near_dups(
     embeddings: DataFrame,
     threshold: float = 0.9,
