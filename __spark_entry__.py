@@ -26,11 +26,14 @@ from wikdict_gen_spark.operators import dedup as D
 from wikdict_gen_spark.operators import display as DS
 from wikdict_gen_spark.operators import export as E
 from wikdict_gen_spark.operators import fuzzy as FZ
+from wikdict_gen_spark.operators import graph as G
 from wikdict_gen_spark.operators import infer as I
 from wikdict_gen_spark.operators import process as P
+from wikdict_gen_spark.operators import sampling as SM
 from wikdict_gen_spark.operators import similarity as S
 from wikdict_gen_spark.operators import skew as SK
 from wikdict_gen_spark.operators import textstats as T
+from wikdict_gen_spark.operators import webclean as WC
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -2047,6 +2050,268 @@ SELECT node, min(r) AS canonical FROM reach GROUP BY node
 """
 
 
+# --- web-corpus cleaning / sampling / graph (engine-added families) ----------
+
+# Deterministic multi-line web corpus derived from `documents`: per-source
+# boilerplate (20 sources x 25 docs -> each source line repeats in 25 docs)
+# plus one corpus-wide banner, around the unique body line.  The same SQL
+# runs in Spark (temp view) and DuckDB, so the derivation cannot drift.
+_WEB_PAGES_SQL = """
+    SELECT doc_id, lang, source,
+           'nav home about ' || source || chr(10) ||
+           'cookie consent required' || chr(10) ||
+           text || chr(10) ||
+           'copyright ' || source || ' all rights reserved' AS text
+    FROM documents
+"""
+
+
+def q_line_dedup(spark, sf_dir):
+    """Cross-document boilerplate-line removal (webclean.strip_boilerplate
+    _lines): lines appearing in >= 4 distinct documents are stripped, the
+    survivors reassembled in original order.  The C4/CCNet line-level
+    clean pass; the boilerplate inventory is a broadcast anti-join."""
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    pages = spark.sql(_WEB_PAGES_SQL)
+    return WC.strip_boilerplate_lines(pages, min_docs=4).select(
+        "doc_id", "text", "n_lines_kept", "n_lines_removed"
+    )
+
+
+_ORACLE_KG["q_line_dedup"] = f"""
+WITH pages AS ({_WEB_PAGES_SQL}),
+split AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM pages),
+lines AS (
+    SELECT doc_id, i AS pos, trim(ls[i]) AS line
+    FROM split, unnest(range(1, len(ls) + 1)) AS u(i)
+    WHERE trim(ls[i]) <> ''
+),
+freq AS (
+    SELECT md5(line) AS h FROM lines GROUP BY md5(line)
+    HAVING count(DISTINCT doc_id) >= 4
+),
+kept AS (SELECT doc_id, pos, line FROM lines
+         WHERE md5(line) NOT IN (SELECT h FROM freq)),
+tot AS (SELECT doc_id, count(*) AS n_total FROM lines GROUP BY doc_id)
+SELECT p.doc_id,
+       coalesce(string_agg(k.line, chr(10) ORDER BY k.pos), '') AS text,
+       count(k.line) AS n_lines_kept,
+       coalesce(any_value(t.n_total), 0) - count(k.line) AS n_lines_removed
+FROM pages p
+LEFT JOIN kept k ON k.doc_id = p.doc_id
+LEFT JOIN tot t ON t.doc_id = p.doc_id
+GROUP BY p.doc_id
+"""
+
+
+# PII planted deterministically (the synthetic corpus has none): every doc
+# gains an email, every third an IPv4, every fifth a phone — same SQL both
+# engines, so the scrub operator is exercised on known ground truth.
+_PII_TEXT_SQL = """
+    SELECT doc_id,
+           text || ' contact admin' || CAST(doc_id % 50 AS STRING) ||
+           '@site' || CAST(doc_id % 7 AS STRING) || '.org' ||
+           CASE WHEN doc_id % 3 = 0
+                THEN ' server 10.' || CAST(doc_id % 200 AS STRING) ||
+                     '.0.' || CAST(doc_id % 250 AS STRING)
+                ELSE '' END ||
+           CASE WHEN doc_id % 5 = 0
+                THEN ' call +49 30 ' || CAST(1000 + doc_id % 9000 AS STRING) ||
+                     ' ' || CAST(100 + doc_id % 900 AS STRING)
+                ELSE '' END AS text
+    FROM documents
+"""
+
+
+def q_pii_scrub(spark, sf_dir):
+    """Typed PII redaction (webclean.pii_scrub): email -> ipv4 -> phone in
+    that order with per-kind counts, pure regexp column arithmetic.  The
+    regexes are RE2-compatible so DuckDB replays them byte-for-byte."""
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    pii = spark.sql(_PII_TEXT_SQL)
+    return WC.pii_scrub(pii).select(
+        "doc_id", "n_email", "n_ipv4", "n_phone", "text_scrubbed"
+    )
+
+
+_ORACLE_KG["q_pii_scrub"] = f"""
+WITH pii AS ({_PII_TEXT_SQL}),
+s1 AS (SELECT doc_id,
+              len(regexp_extract_all(text, '{WC.PII_PATTERNS["email"]}')) AS n_email,
+              regexp_replace(text, '{WC.PII_PATTERNS["email"]}', '<EMAIL>', 'g') AS t1
+       FROM pii),
+s2 AS (SELECT doc_id, n_email,
+              len(regexp_extract_all(t1, '{WC.PII_PATTERNS["ipv4"]}')) AS n_ipv4,
+              regexp_replace(t1, '{WC.PII_PATTERNS["ipv4"]}', '<IP>', 'g') AS t2
+       FROM s1),
+s3 AS (SELECT doc_id, n_email, n_ipv4,
+              len(regexp_extract_all(t2, '{WC.PII_PATTERNS["phone"]}')) AS n_phone,
+              regexp_replace(t2, '{WC.PII_PATTERNS["phone"]}', '<PHONE>', 'g') AS t3
+       FROM s2)
+SELECT doc_id, n_email, n_ipv4, n_phone, t3 AS text_scrubbed FROM s3
+"""
+
+
+# Link graph for PageRank/degree: src keys mod 80, dst keys mod 120, so
+# nodes n80..n119 are dst-only — a real dangling-mass population, which is
+# the PageRank term a trivial fixture never exercises.
+_PR_EDGES_SQL = """
+    SELECT 'n' || CAST(l_partkey % 80 AS STRING) AS src,
+           'n' || CAST(l_orderkey % 120 AS STRING) AS dst
+    FROM lineitem
+    WHERE l_linenumber <= 2
+      AND (l_partkey % 80) != (l_orderkey % 120)
+"""
+
+
+def _pr_iter_sql(k: int) -> str:
+    p = f"pr{k - 1}"
+    return f"""
+c{k} AS (SELECT e.dst AS node, sum(p.pr / d.deg) AS contrib
+         FROM edges e JOIN {p} p ON p.node = e.src JOIN deg d ON d.src = e.src
+         GROUP BY e.dst),
+g{k} AS (SELECT coalesce(sum(pr), CAST(0 AS DOUBLE)) AS dangling
+         FROM {p} WHERE node NOT IN (SELECT src FROM deg)),
+pr{k} AS (SELECT n.node,
+                 (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n
+                 + CAST(0.85 AS DOUBLE)
+                   * (coalesce(c{k}.contrib, CAST(0 AS DOUBLE))
+                      + g{k}.dangling / nn.n) AS pr
+          FROM nodes n CROSS JOIN nn CROSS JOIN g{k}
+          LEFT JOIN c{k} ON c{k}.node = n.node)"""
+
+
+def q_pagerank(spark, sf_dir):
+    """graph.pagerank, 3 power iterations with dangling redistribution
+    over the lineitem-derived link graph.  One shuffle per iteration
+    (join on src + partial-agg on dst), lineage cut per step; the oracle
+    re-derives every iteration as an independent chained CTE."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    edges = spark.sql(_PR_EDGES_SQL)
+    pr = G.pagerank(edges, iterations=3, damping=0.85)
+    return pr.select("node", F.round("pagerank", 7).alias("pagerank"))
+
+
+_ORACLE_KG["q_pagerank"] = f"""
+WITH edges AS ({_PR_EDGES_SQL}),
+nodes AS (SELECT DISTINCT node FROM
+          (SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)),
+nn AS (SELECT count(*) AS n FROM nodes),
+deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+pr0 AS (SELECT node, CAST(1.0 AS DOUBLE) / nn.n AS pr FROM nodes CROSS JOIN nn),
+{",".join(_pr_iter_sql(k) for k in (1, 2, 3))}
+SELECT node, round(pr, 7) AS pagerank FROM pr3
+"""
+
+
+def q_degree_stats(spark, sf_dir):
+    """graph.degree_stats: full-outer union of the out/in degree
+    aggregations over the same link graph."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return G.degree_stats(spark.sql(_PR_EDGES_SQL))
+
+
+_ORACLE_KG["q_degree_stats"] = f"""
+WITH edges AS ({_PR_EDGES_SQL}),
+o AS (SELECT src AS node, count(*) AS out_deg FROM edges GROUP BY src),
+i AS (SELECT dst AS node, count(*) AS in_deg FROM edges GROUP BY dst)
+SELECT coalesce(o.node, i.node) AS node,
+       coalesce(out_deg, 0) AS out_deg,
+       coalesce(in_deg, 0) AS in_deg
+FROM o FULL OUTER JOIN i ON o.node = i.node
+"""
+
+
+# Training-mixture spec for the stratified-sampling row; es is deliberately
+# absent so the default_rate=0 path is part of the verified surface.
+_MIX_RATES = {"de": 1.0, "en": 0.5, "fr": 0.25, "zh": 0.125}
+
+
+def q_stratified_sample(spark, sf_dir):
+    """sampling.stratified_sample: deterministic per-language hash-gate
+    mixture — keep iff md5('mix:'||doc_id)[:16] < per-stratum threshold.
+    Zero shuffle (one pushed-down predicate); reproducible from (rates,
+    salt) alone, which is what lets DuckDB replay the exact sample."""
+    docs = _t(spark, sf_dir, "documents")
+    return SM.stratified_sample(
+        docs, _MIX_RATES, stratum_col="lang", key_col="doc_id", salt="mix"
+    ).select("doc_id", "lang")
+
+
+_ORACLE_KG["q_stratified_sample"] = f"""
+SELECT doc_id, lang FROM documents
+WHERE substring(md5('mix:' || CAST(doc_id AS STRING)), 1, 16) <
+      CASE lang
+          WHEN 'de' THEN '{SM.rate_to_threshold(1.0)}'
+          WHEN 'en' THEN '{SM.rate_to_threshold(0.5)}'
+          WHEN 'fr' THEN '{SM.rate_to_threshold(0.25)}'
+          WHEN 'zh' THEN '{SM.rate_to_threshold(0.125)}'
+          ELSE '{SM.rate_to_threshold(0.0)}' END
+"""
+
+
+def q_collocations(spark, sf_dir):
+    """textstats.collocations: corpus-level bigram PMI (two partial-agg
+    counts + two broadcast unigram joins).  Integer counts are exact in
+    both engines; the single ln() is rounded to 7 to absorb libm's 1-ulp
+    latitude."""
+    out = T.collocations(_t(spark, sf_dir, "documents"), min_count=30)
+    return out.select(
+        "w1", "w2", "n_pair", "n_w1", "n_w2",
+        F.round("pmi", 7).alias("pmi"),
+    )
+
+
+_ORACLE_KG["q_collocations"] = """
+WITH toks AS (
+    SELECT doc_id,
+           string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+    FROM documents
+),
+uni AS (SELECT u.w, count(*) AS n_w FROM toks, unnest(t) AS u(w) GROUP BY u.w),
+big AS (
+    SELECT t[i] AS w1, t[i + 1] AS w2, count(*) AS n_pair
+    FROM toks, unnest(range(1, len(t))) AS u(i)
+    GROUP BY t[i], t[i + 1]
+    HAVING count(*) >= 30
+),
+nt AS (SELECT sum(n_w) AS n_tokens FROM uni),
+nb AS (SELECT sum(greatest(len(t) - 1, 0)) AS n_bigrams FROM toks)
+SELECT b.w1, b.w2, b.n_pair, u1.n_w AS n_w1, u2.n_w AS n_w2,
+       round(ln((CAST(b.n_pair AS DOUBLE) / nb.n_bigrams) /
+                ((CAST(u1.n_w AS DOUBLE) / nt.n_tokens)
+                 * (CAST(u2.n_w AS DOUBLE) / nt.n_tokens))), 7) AS pmi
+FROM big b
+JOIN uni u1 ON u1.w = b.w1
+JOIN uni u2 ON u2.w = b.w2
+CROSS JOIN nt CROSS JOIN nb
+"""
+
+
+def q_incremental_dedup(spark, sf_dir):
+    """dedup.incremental_dedup: the resumable-ingest shape — even doc_ids
+    are the committed corpus (its hash table is the only state), odd ids
+    the arriving batch; survivors are batch-canonical AND history-new."""
+    docs = _t(spark, sf_dir, "documents")
+    seen = D.exact_dedup(docs.where(F.col("doc_id") % 2 == 0)).select("content_hash")
+    batch = docs.where(F.col("doc_id") % 2 == 1)
+    return D.incremental_dedup(batch, seen).select("doc_id", "content_hash")
+
+
+_ORACLE_KG["q_incremental_dedup"] = """
+WITH nrm AS (
+    SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS content_hash
+    FROM documents
+),
+seen AS (SELECT DISTINCT content_hash FROM nrm WHERE doc_id % 2 = 0),
+batch AS (SELECT content_hash, min(doc_id) AS doc_id
+          FROM nrm WHERE doc_id % 2 = 1 GROUP BY content_hash)
+SELECT doc_id, content_hash FROM batch
+WHERE content_hash NOT IN (SELECT content_hash FROM seen)
+"""
+
+
 # --- driver contract -----------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -2105,6 +2370,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lsh_capped": q_lsh_capped,
         "q_near_dup_clusters": q_near_dup_clusters,
         "q_connected_components": q_connected_components,
+        "q_line_dedup": q_line_dedup,
+        "q_pii_scrub": q_pii_scrub,
+        "q_pagerank": q_pagerank,
+        "q_degree_stats": q_degree_stats,
+        "q_stratified_sample": q_stratified_sample,
+        "q_collocations": q_collocations,
+        "q_incremental_dedup": q_incremental_dedup,
     }
 
 

@@ -1,0 +1,229 @@
+"""Tests for the web-corpus operators: boilerplate-line removal, PII
+scrubbing, deterministic sampling, PageRank, collocations, incremental
+dedup — each on a planted fixture with an independently-computed answer."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from wikdict_gen_spark.operators import dedup, graph, sampling, textstats, webclean
+
+BOILER = "cookie consent required"
+PAGES = [
+    # 5 docs share the banner; body lines are unique
+    (1, f"{BOILER}\nalpha body one\nfooter site-a"),
+    (2, f"{BOILER}\nbeta body two\nfooter site-a"),
+    (3, f"{BOILER}\ngamma body three\nfooter site-a"),
+    (4, f"{BOILER}\ndelta body four\nfooter site-a"),
+    (5, f"{BOILER}\nepsilon body five"),
+    (6, BOILER),  # all-boilerplate page must survive with text=''
+    (7, "  \n\n"),  # whitespace-only page: zero lines in, zero out
+]
+
+
+@pytest.fixture(scope="module")
+def pages(spark):
+    return spark.createDataFrame(PAGES, "doc_id long, text string")
+
+
+class TestLineDedup:
+    def test_frequent_lines_threshold(self, pages):
+        freq = webclean.frequent_lines(pages, min_docs=4).collect()
+        # banner in 6 docs, footer in 4, bodies in 1 each
+        assert {r["n_docs"] for r in freq} == {6, 4}
+        assert len(freq) == 2
+
+    def test_strip_reassembles_in_order(self, spark):
+        df = spark.createDataFrame(
+            [(1, "keep one\nzap\nkeep two"), (2, "zap"), (3, "zap"), (4, "zap")],
+            "doc_id long, text string",
+        )
+        out = {
+            r["doc_id"]: r
+            for r in webclean.strip_boilerplate_lines(df, min_docs=3).collect()
+        }
+        assert out[1]["text"] == "keep one\nkeep two"  # order preserved
+        assert out[1]["n_lines_kept"] == 2 and out[1]["n_lines_removed"] == 1
+
+    def test_all_boilerplate_and_empty_docs_survive(self, pages):
+        out = {
+            r["doc_id"]: r
+            for r in webclean.strip_boilerplate_lines(pages, min_docs=4).collect()
+        }
+        assert len(out) == 7  # nothing dropped, including the degenerate docs
+        assert out[6]["text"] == "" and out[6]["n_lines_removed"] == 1
+        assert out[7]["text"] == "" and out[7]["n_lines_kept"] == 0
+        assert out[1]["text"] == "alpha body one"
+        assert out[5]["text"] == "epsilon body five"  # footer absent in 5: kept? no—
+        # doc 5 has no footer line; only the banner is stripped
+
+    def test_reusable_inventory(self, pages, spark):
+        inv = webclean.frequent_lines(pages, min_docs=4)
+        fresh = spark.createDataFrame(
+            [(99, f"{BOILER}\nnew body")], "doc_id long, text string"
+        )
+        out = webclean.strip_boilerplate_lines(
+            fresh, min_docs=4, boilerplate=inv
+        ).collect()
+        assert out[0]["text"] == "new body"
+
+
+class TestPiiScrub:
+    def test_counts_and_tokens(self, spark):
+        df = spark.createDataFrame(
+            [
+                (1, "mail a.b+c@ex-ample.org or x@y.io, server 10.0.0.7"),
+                (2, "call +49 30 1234 567 now"),
+                (3, "nothing here"),
+            ],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r for r in webclean.pii_scrub(df).collect()}
+        assert out[1]["n_email"] == 2 and out[1]["n_ipv4"] == 1
+        assert out[1]["text_scrubbed"] == "mail <EMAIL> or <EMAIL>, server <IP>"
+        assert out[2]["n_phone"] == 1 and "<PHONE>" in out[2]["text_scrubbed"]
+        assert out[3]["text_scrubbed"] == "nothing here"
+        assert out[3]["n_email"] == out[3]["n_ipv4"] == out[3]["n_phone"] == 0
+
+    def test_email_domain_not_double_counted_as_ip(self, spark):
+        # dotted quad inside an email's domain: consumed by the email pass
+        # first, so the ipv4 pass never sees it
+        df = spark.createDataFrame(
+            [(1, "u@10.0.0.7.example.com end")], "doc_id long, text string"
+        )
+        r = webclean.pii_scrub(df).collect()[0]
+        assert r["n_email"] == 1 and r["n_ipv4"] == 0
+        assert r["text_scrubbed"] == "<EMAIL> end"
+
+
+class TestSampling:
+    def test_threshold_edges(self):
+        assert sampling.rate_to_threshold(0.0) == "0" * 16
+        assert sampling.rate_to_threshold(1.0) == "g"  # above every hex prefix
+        assert sampling.rate_to_threshold(0.5) == "8000000000000000"
+
+    def test_deterministic_and_nested(self, spark):
+        df = spark.range(2000).withColumnRenamed("id", "doc_id")
+        a = {r["doc_id"] for r in sampling.hash_sample(df, 0.25).collect()}
+        b = {r["doc_id"] for r in sampling.hash_sample(df, 0.25).collect()}
+        assert a == b  # reproducible
+        half = {r["doc_id"] for r in sampling.hash_sample(df, 0.5).collect()}
+        assert a <= half  # lower rate is a subset of higher (same salt)
+        assert 0.15 < len(a) / 2000 < 0.35  # near the nominal rate
+
+    def test_stratified_rates(self, spark):
+        rows = [(i, ["en", "de", "es"][i % 3]) for i in range(3000)]
+        df = spark.createDataFrame(rows, "doc_id long, lang string")
+        out = sampling.stratified_sample(df, {"en": 1.0, "de": 0.5}, salt="t")
+        by_lang = {
+            r["lang"]: r["n"]
+            for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()
+        }
+        assert by_lang["en"] == 1000  # rate 1.0 keeps every row
+        assert 350 < by_lang["de"] < 650
+        assert "es" not in by_lang  # default_rate=0 drops unlisted strata
+
+
+class TestPageRank:
+    def _numpy_pagerank(self, edges, n_iter=3, d=0.85):
+        nodes = sorted({u for e in edges for u in e})
+        idx = {v: i for i, v in enumerate(nodes)}
+        n = len(nodes)
+        pr = [1.0 / n] * n
+        out = {v: 0 for v in nodes}
+        for s, _ in edges:
+            out[s] += 1
+        for _ in range(n_iter):
+            contrib = [0.0] * n
+            for s, t in edges:
+                contrib[idx[t]] += pr[idx[s]] / out[s]
+            dangling = sum(pr[idx[v]] for v in nodes if out[v] == 0)
+            pr = [(1 - d) / n + d * (c + dangling / n) for c in contrib]
+        return dict(zip(nodes, pr))
+
+    def test_matches_reference_implementation(self, spark):
+        edges = [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("d", "c")]
+        # e is dangling (dst only): exercises the redistribution term
+        edges.append(("a", "e"))
+        df = spark.createDataFrame(edges, "src string, dst string")
+        got = {
+            r["node"]: r["pagerank"]
+            for r in graph.pagerank(df, iterations=3).collect()
+        }
+        want = self._numpy_pagerank(edges)
+        assert got.keys() == want.keys()
+        for v in want:
+            assert got[v] == pytest.approx(want[v], abs=1e-12)
+
+    def test_ranks_sum_to_one(self, spark):
+        edges = [("a", "b"), ("b", "c"), ("c", "d")]
+        df = spark.createDataFrame(edges, "src string, dst string")
+        total = (
+            graph.pagerank(df, iterations=4)
+            .agg(F.sum("pagerank").alias("s"))
+            .collect()[0]["s"]
+        )
+        assert total == pytest.approx(1.0, abs=1e-9)
+
+    def test_degree_stats(self, spark):
+        df = spark.createDataFrame(
+            [("a", "b"), ("a", "b"), ("b", "c")], "src string, dst string"
+        )
+        out = {r["node"]: r for r in graph.degree_stats(df).collect()}
+        assert (out["a"]["out_deg"], out["a"]["in_deg"]) == (2, 0)
+        assert (out["b"]["out_deg"], out["b"]["in_deg"]) == (1, 2)
+        assert (out["c"]["out_deg"], out["c"]["in_deg"]) == (0, 1)
+
+
+class TestCollocations:
+    def test_pmi_exact(self, spark):
+        # corpus: 'x y' always together; 'p'/'q' never adjacent
+        df = spark.createDataFrame(
+            [(1, "x y p"), (2, "x y q"), (3, "q p x y")],
+            "doc_id long, text string",
+        )
+        out = {
+            (r["w1"], r["w2"]): r
+            for r in textstats.collocations(df, min_count=2).collect()
+        }
+        r = out[("x", "y")]
+        assert r["n_pair"] == 3 and r["n_w1"] == 3 and r["n_w2"] == 3
+        # n_tokens=10, n_bigrams=7: pmi = ln((3/7)/((3/10)^2))
+        assert r["pmi"] == pytest.approx(math.log((3 / 7) / (0.3 * 0.3)), abs=1e-12)
+        assert ("p", "q") not in out  # below min_count
+
+    def test_bigram_never_crosses_documents(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a b"), (2, "b a"), (3, "a b"), (4, "b a")],
+            "doc_id long, text string",
+        )
+        out = textstats.collocations(df, min_count=1).collect()
+        counts = {(r["w1"], r["w2"]): r["n_pair"] for r in out}
+        assert counts == {("a", "b"): 2, ("b", "a"): 2}
+
+
+class TestIncrementalDedup:
+    def test_bootstrap_then_increment(self, spark):
+        batch1 = spark.createDataFrame(
+            [(1, "same text"), (2, "Same  TEXT"), (3, "unique one")],
+            "doc_id long, text string",
+        )
+        first = dedup.incremental_dedup(batch1, None)
+        got1 = {r["doc_id"] for r in first.collect()}
+        assert got1 == {1, 3}  # within-batch canonical-min
+
+        seen = first.select("content_hash")
+        batch2 = spark.createDataFrame(
+            [(10, "same text"), (11, "brand new"), (12, "brand  NEW")],
+            "doc_id long, text string",
+        )
+        got2 = {r["doc_id"] for r in dedup.incremental_dedup(batch2, seen).collect()}
+        assert got2 == {11}  # 10 seen in history, 12 collapsed into 11
+
+    def test_carries_full_row(self, spark):
+        batch = spark.createDataFrame(
+            [(1, "t", "en")], "doc_id long, text string, lang string"
+        )
+        row = dedup.incremental_dedup(batch, None).collect()[0]
+        assert row["lang"] == "en" and row["content_hash"]

@@ -441,3 +441,36 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
         ).alias("simhash"),
     )
     return sig
+
+
+def incremental_dedup(
+    new_docs: DataFrame,
+    seen_hashes: DataFrame | None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Dedup an arriving batch against an already-committed corpus: the
+    shape every resumable ingest pipeline runs (the batch twin of
+    streaming_exact_dedup, and the reason exact_dedup's hash table is
+    worth persisting between snapshots).
+
+    `seen_hashes` is the committed corpus's (content_hash) table — pass
+    None for the bootstrap batch.  Returns the batch's surviving rows
+    (canonical-min within the batch, then anti-joined against the seen
+    set) with `content_hash` attached, ready to both commit AND append to
+    the seen table — so the next increment needs no recompute over
+    history.
+
+    Scale shape: within-batch dedup is one window-min shuffle on the
+    hash, sized by the BATCH (small), not the corpus; the history check
+    is a single hash-key anti-join against the seen table — 16 bytes per
+    historical doc, the minimum possible state, and the join keys on an
+    md5 hash so it is uniform by construction (no skew, no salting
+    needed).
+    """
+    batch = exact_dedup_rows(new_docs, id_col=id_col, text_col=text_col)
+    if seen_hashes is None:
+        return batch
+    return batch.join(
+        seen_hashes.select("content_hash").distinct(), "content_hash", "left_anti"
+    )

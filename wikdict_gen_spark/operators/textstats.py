@@ -175,3 +175,74 @@ def fingerprint(docs: DataFrame, text_col: str = "text", k: int = 5) -> DataFram
     return docs.withColumn(
         "fp_exact", F.md5(F.array_join(toks, " "))
     ).withColumn("fp_winnow", F.array_min(grams))
+
+
+def collocations(docs: DataFrame, text_col: str = "text",
+                 min_count: int = 5) -> DataFrame:
+    """Corpus-level bigram collocation mining by pointwise mutual
+    information: PMI(a,b) = ln( p(a,b) / (p(a) p(b)) ) with p() estimated
+    from corpus bigram/unigram counts.  The standard phrase-detection
+    pass (word2vec's phrase join, spaCy's collocation scorer) a training
+    pipeline runs before tokenizer training.
+
+    Returns (w1, w2, n_pair, n_w1, n_w2, pmi) for bigrams seen at least
+    `min_count` times.
+
+    Scale shape: two partial-aggregated counts (bigrams, unigrams) — the
+    only shuffles — then the unigram table joins in twice on a single
+    word key.  Unigram counts follow Zipf: the table is tiny relative to
+    the corpus (vocabulary, not tokens), so both probability joins
+    broadcast.  The `min_count` filter lands BEFORE the joins, cutting
+    the long tail (hapax bigrams are most of the distinct mass) out of
+    the join entirely.
+    """
+    toks = _tokens(F.col(text_col))
+    uni = (
+        docs.select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n_w"))
+    )
+    # F.get (0-based, null past the end) rather than element_at: ANSI mode
+    # (the Spark 4 default, on in session.py) makes out-of-bounds
+    # element_at an error, and the last token has no successor
+    grams = F.filter(
+        F.transform(
+            toks,
+            lambda t, i: F.struct(
+                t.alias("w1"), F.get(toks, i + 1).alias("w2")
+            ),
+        ),
+        lambda s: s["w2"].isNotNull(),
+    )
+    pairs = (
+        docs.select(F.explode(grams).alias("g"))
+        .select(F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .where(F.col("n_pair") >= F.lit(int(min_count)))
+    )
+    n_tok = uni.agg(F.sum("n_w").alias("n_tokens"))
+    # total bigram count must include filtered-out pairs: derive it from
+    # token arithmetic (sum over docs of max(len-1, 0)) so the
+    # probabilities are true corpus probabilities, not post-filter ones
+    n_big = docs.select(
+        F.sum(F.greatest(F.size(toks) - 1, F.lit(0))).alias("n_bigrams")
+    )
+    uni1 = uni.select(F.col("w").alias("w1"), F.col("n_w").alias("n_w1"))
+    uni2 = uni.select(F.col("w").alias("w2"), F.col("n_w").alias("n_w2"))
+    return (
+        pairs.join(F.broadcast(uni1), "w1")
+        .join(F.broadcast(uni2), "w2")
+        .crossJoin(F.broadcast(n_tok))
+        .crossJoin(F.broadcast(n_big))
+        .select(
+            "w1", "w2", "n_pair", "n_w1", "n_w2",
+            F.log(
+                (F.col("n_pair").cast("double") / F.col("n_bigrams"))
+                / (
+                    (F.col("n_w1").cast("double") / F.col("n_tokens"))
+                    * (F.col("n_w2").cast("double") / F.col("n_tokens"))
+                )
+            ).alias("pmi"),
+        )
+    )

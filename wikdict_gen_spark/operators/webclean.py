@@ -1,0 +1,150 @@
+"""Web-corpus cleaning: cross-document boilerplate-line removal and PII
+scrubbing — the two standard "clean the crawl" passes that run before any
+dedup/quality stage in a pre-training pipeline (C4's line-level filters,
+CCNet's per-shard line dedup).
+
+Scale shape (the part that matters at 100 TB):
+
+* `frequent_lines` aggregates to (line_hash, doc_count) — a partial
+  (map-side combined) count whose OUTPUT is tiny after the frequency
+  filter: boilerplate is by definition the heavy tail (nav bars, cookie
+  banners, copyright footers shared by thousands of pages), so the
+  surviving table is "one row per distinct boilerplate line", orders of
+  magnitude smaller than the corpus.  `strip_boilerplate_lines` therefore
+  broadcast-anti-joins the exploded lines against it: the only full-corpus
+  shuffle in the whole pass is the groupBy(doc) reassembly, and even that
+  keys on doc_id — the corpus's natural (skew-free, near-unique) key.
+* Line identity is md5 of the trimmed line, so the frequency shuffle moves
+  32-byte hashes, never the line text (a nav bar is kilobytes; its hash is
+  not).  The md5 shape is also what keeps the operator under the DuckDB
+  oracle.
+* `pii_scrub` is pure JVM column arithmetic (regexp_replace / regexp_count)
+  fused into the scan — zero shuffle, zero Python.
+
+The regexes are written in the RE2-compatible subset (no backreferences,
+no lookaround) so Spark (Java regex) and DuckDB (RE2) agree byte-for-byte
+— that compatibility is load-bearing for the oracle rows, not a style
+choice.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# RE2-safe patterns shared by the Spark plan and the DuckDB oracle.
+PII_PATTERNS = {
+    # local@domain.tld — the pragmatic crawl-scrubbing shape, not RFC 5322
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    # dotted quad; \b keeps version strings like 1.2.3.4.5 from half-matching
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    # international-ish phone: +CC then 7..14 digits with optional separators
+    "phone": r"\+\d{1,3}[ -]?\(?\d{1,4}\)?([ -]?\d{2,4}){2,4}",
+}
+PII_TOKEN = {"email": "<EMAIL>", "ipv4": "<IP>", "phone": "<PHONE>"}
+
+
+def split_lines(docs: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """(id, pos, line): trimmed non-empty lines with their original
+    position — posexplode keeps the order key so reassembly is exact."""
+    return (
+        docs.select(
+            F.col(id_col),
+            F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "raw"),
+        )
+        .select(F.col(id_col), "pos", F.trim(F.col("raw")).alias("line"))
+        .where(F.col("line") != "")
+    )
+
+
+def frequent_lines(docs: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text", min_docs: int = 4) -> DataFrame:
+    """(line_hash, n_docs) for every line appearing in >= `min_docs`
+    DISTINCT documents — the boilerplate inventory.
+
+    count(DISTINCT doc) is the right statistic (a line repeated inside one
+    page is repetition, not boilerplate) and Spark executes it as the
+    standard two-phase expand/partial-agg, so no single reducer sees a
+    hot line's full row set.
+    """
+    lines = split_lines(docs, id_col, text_col)
+    return (
+        lines.select(F.md5(F.col("line")).alias("line_hash"), F.col(id_col))
+        .groupBy("line_hash")
+        .agg(F.countDistinct(id_col).alias("n_docs"))
+        .where(F.col("n_docs") >= F.lit(int(min_docs)))
+    )
+
+
+def strip_boilerplate_lines(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 4,
+    boilerplate: DataFrame | None = None,
+) -> DataFrame:
+    """Remove every line that `frequent_lines` classifies as boilerplate
+    and reassemble each document's remaining lines in original order.
+
+    Returns (id, text, n_lines_kept, n_lines_removed); a document whose
+    every line is boilerplate survives with text='' (dropping it is the
+    quality gate's decision, not this operator's).  Pass `boilerplate`
+    to reuse an inventory computed once for a whole corpus (the
+    incremental/multi-shard path).
+    """
+    lines = split_lines(docs, id_col, text_col).withColumn(
+        "line_hash", F.md5(F.col("line"))
+    )
+    if boilerplate is None:
+        boilerplate = frequent_lines(docs, id_col, text_col, min_docs)
+    # the inventory is the heavy-hitter set: small by construction -> broadcast
+    kept = lines.join(
+        F.broadcast(boilerplate.select("line_hash")), "line_hash", "left_anti"
+    )
+    reassembled = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_lines_kept"),
+    )
+    total = split_lines(docs, id_col, text_col).groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_lines_total")
+    )
+    return (
+        docs.select(id_col)
+        .join(reassembled, id_col, "left")
+        .join(total, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("clean_text", F.lit("")).alias(text_col),
+            F.coalesce("n_lines_kept", F.lit(0)).alias("n_lines_kept"),
+            (F.coalesce("n_lines_total", F.lit(0))
+             - F.coalesce("n_lines_kept", F.lit(0))).alias("n_lines_removed"),
+        )
+    )
+
+
+def pii_scrub(docs: DataFrame, text_col: str = "text",
+              kinds: tuple[str, ...] = ("email", "ipv4", "phone")) -> DataFrame:
+    """Replace PII spans with typed tokens and count what was redacted.
+
+    Adds `text_scrubbed` plus one `n_<kind>` column per requested kind.
+    Order matters: email before ipv4/phone so a dotted quad inside an
+    email's domain is counted once as email, never double-redacted.
+    Pure regexp_replace/regexp_count column arithmetic — fuses into the
+    scan, no shuffle, no Python.
+    """
+    out = docs
+    scrubbed = F.col(text_col)
+    for kind in kinds:
+        pat = PII_PATTERNS[kind]
+        out = out.withColumn(
+            f"n_{kind}", F.regexp_count(scrubbed, F.lit(pat)).cast("bigint")
+        )
+        scrubbed = F.regexp_replace(scrubbed, pat, PII_TOKEN[kind])
+    return out.withColumn("text_scrubbed", scrubbed)
