@@ -2312,6 +2312,97 @@ WHERE content_hash NOT IN (SELECT content_hash FROM seen)
 """
 
 
+def q_sessionize(spark, sf_dir):
+    """sessions.session_stats: gap-based sessionization (4h inactivity
+    threshold) — one user-key shuffle, then window lag -> boundary flag ->
+    running index; aggregation reuses the same partitioning.  (ts,
+    event_id) ordering makes the index reproducible under timestamp
+    ties."""
+    from wikdict_gen_spark.operators import sessions as SE
+
+    return SE.session_stats(
+        _t(spark, sf_dir, "events"), gap_seconds=14400
+    ).select(
+        "user_id", "session_idx", "n_events",
+        "session_start", "session_end", "duration_s",
+    )
+
+
+_ORACLE_KG["q_sessionize"] = """
+WITH ordered AS (
+    SELECT user_id, event_id, ts,
+           lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+    FROM events
+),
+flagged AS (
+    SELECT user_id, event_id, ts,
+           CASE WHEN prev_ts IS NULL
+                     OR date_diff('second', prev_ts, ts) > 14400
+                THEN 1 ELSE 0 END AS new_s
+    FROM ordered
+),
+sess AS (
+    SELECT user_id, ts,
+           CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) - 1 AS BIGINT) AS session_idx
+    FROM flagged
+)
+SELECT user_id, session_idx, count(*) AS n_events,
+       min(ts) AS session_start, max(ts) AS session_end,
+       date_diff('second', min(ts), max(ts)) AS duration_s
+FROM sess GROUP BY user_id, session_idx
+"""
+
+
+# Query terms for the BM25 row: mid-frequency tokens of the synthetic vocab
+_BM25_TERMS = ["join", "scan", "window"]
+
+
+def q_bm25(spark, sf_dir):
+    """ranking.bm25_scores: probabilistic relevance over the documents
+    corpus (Lucene shifted-idf form, k1=1.2 b=0.75).  The postings
+    shuffle carries only query-term hits; corpus stats are broadcast
+    scalars."""
+    from wikdict_gen_spark.operators import ranking as R
+
+    out = R.bm25_scores(_t(spark, sf_dir, "documents"), _BM25_TERMS)
+    return out.select("doc_id", F.round("score", 7).alias("score"))
+
+
+_ORACLE_KG["q_bm25"] = f"""
+WITH toks AS (
+    SELECT doc_id,
+           string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+    FROM documents
+),
+base AS (SELECT doc_id, u.term, len(t) AS dl FROM toks, unnest(t) AS u(term)),
+tf AS (
+    SELECT doc_id, term, count(*) AS tf, any_value(dl) AS dl
+    FROM base
+    WHERE term IN ({", ".join("'" + t + "'" for t in sorted(set(_BM25_TERMS)))})
+    GROUP BY doc_id, term
+),
+stats AS (SELECT count(*) AS n_docs,
+                 CAST(sum(len(t)) AS DOUBLE) / count(*) AS avgdl
+          FROM toks),
+dfq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term)
+SELECT tf.doc_id,
+       round(sum(
+           ln((stats.n_docs - dfq.df + CAST(0.5 AS DOUBLE))
+              / (dfq.df + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE))
+           * CAST(tf.tf AS DOUBLE)
+           * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE))
+           / (CAST(tf.tf AS DOUBLE)
+              + CAST(1.2 AS DOUBLE)
+                * (CAST(0.25 AS DOUBLE)
+                   + CAST(0.75 AS DOUBLE) * tf.dl / stats.avgdl))
+       ), 7) AS score
+FROM tf JOIN dfq USING (term) CROSS JOIN stats
+GROUP BY tf.doc_id
+"""
+
+
 # --- driver contract -----------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -2377,6 +2468,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stratified_sample": q_stratified_sample,
         "q_collocations": q_collocations,
         "q_incremental_dedup": q_incremental_dedup,
+        "q_sessionize": q_sessionize,
+        "q_bm25": q_bm25,
     }
 
 

@@ -227,3 +227,106 @@ class TestIncrementalDedup:
         )
         row = dedup.incremental_dedup(batch, None).collect()[0]
         assert row["lang"] == "en" and row["content_hash"]
+
+
+class TestSessionize:
+    def _events(self, spark):
+        from datetime import datetime as dt
+
+        rows = [
+            # user 1: two sessions split by a 2h gap (threshold 30 min)
+            (1, 100, dt(2024, 1, 1, 10, 0, 0)),
+            (2, 100, dt(2024, 1, 1, 10, 10, 0)),
+            (3, 100, dt(2024, 1, 1, 12, 30, 0)),
+            # user 2: one event
+            (4, 200, dt(2024, 1, 1, 9, 0, 0)),
+            # user 1 again: exactly-at-threshold gap does NOT split (> not >=)
+            (5, 100, dt(2024, 1, 1, 13, 0, 0)),
+        ]
+        return spark.createDataFrame(
+            rows, "event_id long, user_id long, ts timestamp"
+        )
+
+    def test_gap_splits_sessions(self, spark):
+        from wikdict_gen_spark.operators import sessions
+
+        out = sessions.sessionize(self._events(spark), gap_seconds=1800).collect()
+        idx = {r["event_id"]: r["session_idx"] for r in out}
+        assert idx[1] == 0 and idx[2] == 0  # 10-min gap: same session
+        assert idx[3] == 1  # 2h20 gap: new session
+        assert idx[5] == 1  # 30:00 gap == threshold: NOT a new session
+        assert idx[4] == 0
+
+    def test_timestamp_tie_is_deterministic(self, spark):
+        from datetime import datetime as dt
+
+        from wikdict_gen_spark.operators import sessions
+
+        rows = [(i, 1, dt(2024, 1, 1, 10, 0, 0)) for i in range(5)]
+        df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+        out = sessions.session_stats(df, gap_seconds=60).collect()
+        assert len(out) == 1 and out[0]["n_events"] == 5
+        assert out[0]["duration_s"] == 0
+
+    def test_session_stats(self, spark):
+        from wikdict_gen_spark.operators import sessions
+
+        out = {
+            (r["user_id"], r["session_idx"]): r
+            for r in sessions.session_stats(
+                self._events(spark), gap_seconds=1800
+            ).collect()
+        }
+        assert out[(100, 0)]["n_events"] == 2
+        assert out[(100, 0)]["duration_s"] == 600
+        assert out[(100, 1)]["n_events"] == 2  # events 3 and 5
+        assert out[(200, 0)]["n_events"] == 1
+
+
+class TestBM25:
+    def test_hand_computed(self, spark):
+        from wikdict_gen_spark.operators import ranking
+
+        docs = spark.createDataFrame(
+            [(1, "cat dog"), (2, "cat cat cat fish"), (3, "bird fish")],
+            "doc_id long, text string",
+        )
+        got = {
+            r["doc_id"]: r["score"]
+            for r in ranking.bm25_scores(docs, ["cat"], k1=1.2, b=0.75).collect()
+        }
+        # N=3, df(cat)=2, idf = ln((3-2+0.5)/(2+0.5)+1); avgdl = 8/3
+        idf = math.log((3 - 2 + 0.5) / (2 + 0.5) + 1)
+
+        def s(tf, dl):
+            return idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / (8 / 3)))
+
+        assert got.keys() == {1, 2}  # doc 3 has no query term
+        assert got[1] == pytest.approx(s(1, 2), abs=1e-12)
+        assert got[2] == pytest.approx(s(3, 4), abs=1e-12)
+        assert got[2] > got[1]  # higher tf wins at comparable length
+
+    def test_duplicate_query_terms_score_once(self, spark):
+        from wikdict_gen_spark.operators import ranking
+
+        docs = spark.createDataFrame(
+            [(1, "cat dog"), (2, "dog dog")], "doc_id long, text string"
+        )
+        a = {r["doc_id"]: r["score"]
+             for r in ranking.bm25_scores(docs, ["dog"]).collect()}
+        b = {r["doc_id"]: r["score"]
+             for r in ranking.bm25_scores(docs, ["dog", "dog"]).collect()}
+        assert a == b
+
+    def test_rare_term_outscores_common(self, spark):
+        from wikdict_gen_spark.operators import ranking
+
+        rows = [(i, "common filler words") for i in range(1, 10)]
+        rows.append((10, "common rare"))
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r["doc_id"]: r["score"]
+            for r in ranking.bm25_scores(docs, ["common", "rare"]).collect()
+        }
+        # doc 10 matches both; the rare term's idf dominates
+        assert got[10] > max(v for k, v in got.items() if k != 10)
