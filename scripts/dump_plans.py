@@ -50,6 +50,13 @@ def main() -> None:
         ("q_anki", "fixed-gate global ordered top-k (TakeOrderedAndProject)", False),
         ("q_clean_corpus", "corpus prep chain: quality gate -> exact dedup -> LSH near-dup removal (canon + shingle trunks localCheckpoint-materialized: Scan ExistingRDD, zero repeated parquet scans)", True),
         ("q_clean_corpus_raw", "the same chain UN-materialized (materialize=False) — the full logical tree the checkpoints cut; kept as the why-materialize evidence", False),
+        ("q_line_dedup", "boilerplate-line removal: one explode (checkpointed), broadcast inventory flag-join folded into a single groupBy(doc) reassembly", True),
+        ("q_bm25", "BM25: query-term filter pushed beneath the postings aggregation; df/corpus stats broadcast", False),
+        ("q_sessionize", "sessionization: one user-key shuffle, window arithmetic + same-key aggregation", True),
+        ("q_collocations", "bigram PMI: two partial-agg counts, broadcast unigram joins after the min_count filter", False),
+        # keep LAST: disables broadcast joins for the whole session to
+        # force the cluster-scale SMJ regime
+        ("q_pagerank_iter", "one PageRank iteration in the SMJ regime: the persisted hash(src) edge table joins the rank vector with NO exchange on the edge side (Pregel partition-once layout)", True),
     ]
     out = ["# PLANS — formatted physical plans of flagship operators\n"]
     out.append(
@@ -88,6 +95,33 @@ def main() -> None:
                 num_hashes=4, bands=2, k=3, compact=False,
                 materialize=False,
             )
+        if name == "q_pagerank_iter":
+            # one iteration against the persisted loop-invariant tables in
+            # the no-broadcast (cluster-scale) regime, so the plan shows
+            # the edge side reading the cache without an exchange
+            from pyspark import StorageLevel
+            from pyspark.sql import functions as F
+
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+            lvl = StorageLevel(True, True, False, False, 1)
+            spark.read.parquet(f"{SF_DIR}/lineitem.parquet").createOrReplaceTempView(
+                "lineitem"
+            )
+            edges = spark.sql(entrymod._PR_EDGES_SQL)
+            deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+            ed = edges.join(deg, "src").repartition("src").persist(lvl)
+            pr = (
+                edges.select(F.col("src").alias("node")).distinct()
+                .select("node", F.lit(0.01).alias("pr"))
+                .localCheckpoint(eager=False, storageLevel=lvl)
+            )
+            contrib = (
+                ed.join(pr, ed["src"] == pr["node"])
+                .groupBy("dst")
+                .agg(F.sum(F.col("pr") / F.col("deg")).alias("contrib"))
+            )
+            return contrib
         return queries[name](spark, SF_DIR)
 
     for name, why, final in picks:

@@ -62,16 +62,24 @@ def pagerank(
         .union(edges.select(F.col("dst").alias("node")))
         .distinct()
     )
+    # Loop-invariant tables use persist(), NOT localCheckpoint: a
+    # checkpoint's LogicalRDD reports UnknownPartitioning (verified
+    # empirically — the plan then re-exchanges the edge table every
+    # iteration), while InMemoryRelation keeps the child plan's
+    # outputPartitioning.  Their lineage is one scan+join deep, so the
+    # checkpoint's lineage cut buys nothing here; the cut matters for
+    # `pr`, whose lineage grows per iteration.
     if materialize:
-        nodes = nodes.localCheckpoint(eager=False, storageLevel=_CKPT_LEVEL)
+        nodes = nodes.persist(_CKPT_LEVEL)
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    # pre-divide once: each iteration then joins a (src, deg) table it
-    # never recomputes
+    # attach degrees once: each iteration then joins a (src, dst, deg)
+    # table it never recomputes.  repartition("src") pins hash(src) so
+    # every iteration's contribution join exchanges only the rank
+    # vector, while the edge table — the side that is 100 TB — never
+    # moves again: the Pregel partition-once-iterate-many layout.
     edges_deg = edges.join(deg, "src")
     if materialize:
-        edges_deg = edges_deg.localCheckpoint(
-            eager=False, storageLevel=_CKPT_LEVEL
-        )
+        edges_deg = edges_deg.repartition("src").persist(_CKPT_LEVEL)
 
     n = nodes.agg(F.count(F.lit(1)).alias("n_nodes"))
     pr = nodes.crossJoin(n).select(

@@ -83,6 +83,7 @@ def strip_boilerplate_lines(
     text_col: str = "text",
     min_docs: int = 4,
     boilerplate: DataFrame | None = None,
+    materialize: bool = True,
 ) -> DataFrame:
     """Remove every line that `frequent_lines` classifies as boilerplate
     and reassemble each document's remaining lines in original order.
@@ -91,40 +92,67 @@ def strip_boilerplate_lines(
     every line is boilerplate survives with text='' (dropping it is the
     quality gate's decision, not this operator's).  Pass `boilerplate`
     to reuse an inventory computed once for a whole corpus (the
-    incremental/multi-shard path).
+    incremental/multi-shard path) — with a supplied inventory the whole
+    operator is a single corpus pass.
+
+    Plan shape: the exploded line table is derived ONCE and (when the
+    inventory must be computed here) localCheckpoint-materialized — the
+    corpus.py fan-out discipline, since both the inventory aggregation
+    and the strip consume it, and an unmaterialized shared subtree would
+    re-run the explode per consumer.  The strip itself is a broadcast
+    LEFT join (boilerplate flag) folded into ONE groupBy(doc) that
+    filters inside the aggregation — kept text, kept count and removed
+    count come out of the same shuffle, so no second per-doc pass and no
+    join of two aggregates.  The final right join against the id-only
+    projection restores zero-line documents; it reads one pruned column.
     """
     lines = split_lines(docs, id_col, text_col).withColumn(
         "line_hash", F.md5(F.col("line"))
     )
     if boilerplate is None:
-        boilerplate = frequent_lines(docs, id_col, text_col, min_docs)
+        if materialize:
+            from pyspark import StorageLevel
+
+            lines = lines.localCheckpoint(
+                eager=False,
+                storageLevel=StorageLevel(True, True, False, False, 1),
+            )
+        boilerplate = lines.groupBy("line_hash").agg(
+            F.countDistinct(id_col).alias("n_docs")
+        ).where(F.col("n_docs") >= F.lit(int(min_docs)))
     # the inventory is the heavy-hitter set: small by construction -> broadcast
-    kept = lines.join(
-        F.broadcast(boilerplate.select("line_hash")), "line_hash", "left_anti"
+    flagged = lines.join(
+        F.broadcast(
+            boilerplate.select("line_hash", F.lit(True).alias("is_boiler"))
+        ),
+        "line_hash",
+        "left",
     )
-    reassembled = kept.groupBy(id_col).agg(
+    keep = F.col("is_boiler").isNull()
+    reassembled = flagged.groupBy(id_col).agg(
         F.array_join(
             F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                F.filter(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "line", keep.alias("k")))
+                    ),
+                    lambda s: s["k"],
+                ),
                 lambda s: s["line"],
             ),
             "\n",
         ).alias("clean_text"),
-        F.count(F.lit(1)).alias("n_lines_kept"),
-    )
-    total = split_lines(docs, id_col, text_col).groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_lines_total")
+        F.sum(keep.cast("long")).alias("n_lines_kept"),
+        F.sum((~keep).cast("long")).alias("n_lines_removed"),
     )
     return (
         docs.select(id_col)
         .join(reassembled, id_col, "left")
-        .join(total, id_col, "left")
         .select(
             id_col,
             F.coalesce("clean_text", F.lit("")).alias(text_col),
             F.coalesce("n_lines_kept", F.lit(0)).alias("n_lines_kept"),
-            (F.coalesce("n_lines_total", F.lit(0))
-             - F.coalesce("n_lines_kept", F.lit(0))).alias("n_lines_removed"),
+            F.coalesce("n_lines_removed", F.lit(0)).alias("n_lines_removed"),
         )
     )
 
