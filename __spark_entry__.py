@@ -2403,6 +2403,91 @@ GROUP BY tf.doc_id
 """
 
 
+def q_dup_spans(spark, sf_dir):
+    """dedup.duplicated_span_stats: exact-substring duplication signal —
+    per document, the fraction of its 5-token spans that recur in >= 2
+    documents corpus-wide.  One rolling-gram pass (checkpointed), gram-
+    hash frequency shuffle, broadcast inventory, doc-keyed rollup.
+    dup_span_frac is one exact bigint/bigint double division, so no
+    rounding is needed for the hash compare."""
+    return D.duplicated_span_stats(
+        _t(spark, sf_dir, "documents"), k=5, min_docs=2
+    )
+
+
+_ORACLE_KG["q_dup_spans"] = """
+WITH toks AS (
+    SELECT doc_id,
+           string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+    FROM documents
+),
+grams AS (
+    SELECT doc_id, md5(array_to_string(t[i:i+4], ' ')) AS gh
+    FROM toks, unnest(range(1, len(t) - 5 + 2)) AS u(i)
+    WHERE len(t) >= 5
+),
+freq AS (SELECT gh FROM grams GROUP BY gh HAVING count(DISTINCT doc_id) >= 2),
+per AS (
+    SELECT doc_id, count(*) AS n_spans,
+           CAST(sum(CASE WHEN gh IN (SELECT gh FROM freq) THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dup
+    FROM grams GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(n_spans, 0) AS n_spans,
+       coalesce(n_dup, 0) AS n_dup_spans,
+       CASE WHEN coalesce(n_spans, 0) = 0 THEN CAST(0.0 AS DOUBLE)
+            ELSE CAST(n_dup AS DOUBLE) / n_spans END AS dup_span_frac
+FROM documents d LEFT JOIN per USING (doc_id)
+"""
+
+
+def q_session_window(spark, sf_dir):
+    """Spark's native session_window (gap 4h) in batch mode, cross-
+    checked against an independent lag/cumsum SQL derivation.  Boundary
+    semantics differ from sessions.sessionize: session_window starts a
+    NEW session when the gap is >= the threshold (window end is
+    last_ts + gap, microsecond-exact), so the oracle flags on
+    `ts >= prev_ts + INTERVAL 4 HOUR`, not date_diff > N."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "4 hours").alias("sw"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+_ORACLE_KG["q_session_window"] = """
+WITH ordered AS (
+    SELECT user_id, event_id, ts,
+           lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+    FROM events
+),
+flagged AS (
+    SELECT user_id, event_id, ts,
+           CASE WHEN prev_ts IS NULL OR ts >= prev_ts + INTERVAL 4 HOUR
+                THEN 1 ELSE 0 END AS new_s
+    FROM ordered
+),
+sess AS (
+    SELECT user_id, ts,
+           sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS sid
+    FROM flagged
+)
+SELECT user_id, min(ts) AS session_start,
+       max(ts) + INTERVAL 4 HOUR AS session_end,
+       count(*) AS n_events
+FROM sess GROUP BY user_id, sid
+"""
+
+
 # --- driver contract -----------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -2470,6 +2555,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_incremental_dedup": q_incremental_dedup,
         "q_sessionize": q_sessionize,
         "q_bm25": q_bm25,
+        "q_dup_spans": q_dup_spans,
+        "q_session_window": q_session_window,
     }
 
 

@@ -51,6 +51,9 @@ HEADLINE = [
     "q_token_index",          # FTS inverted index with form discount
     "q_fuzzy_search",         # spellfix analog (levenshtein top-k)
     "q_clean_corpus",         # flagship prep chain: quality -> exact -> LSH near-dup
+    "q_line_dedup",           # round-5: boilerplate-line removal (single-pass shape)
+    "q_pagerank",             # round-5: 3 power iterations, partition-once edges
+    "q_bm25",                 # round-5: postings-filtered relevance ranking
 ]
 
 
@@ -151,12 +154,60 @@ def run_headline(sf_dir: str, cpus: int) -> dict:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         df = queries[name](spark, sf_dir)
-        df.count()  # warm: plan + scan caches
+        df.count()  # warm: plan + scan caches, session-shared _memo trunks
+        # time a FRESH build, not a recount of the warmed DataFrame: queries
+        # that materialize per-call localCheckpoints (clean_corpus,
+        # line_dedup, pagerank) would otherwise be timed reading the warm
+        # run's cached blocks — reporting the read cost, not the operator.
+        # Session-memoized trunks (_memo) are shared by design and stay
+        # warm across the rebuild, matching their documented protocol.
         t0 = time.monotonic()
-        df.count()
+        queries[name](spark, sf_dir).count()
         timings[name] = round(time.monotonic() - t0, 3)
     spark.stop()
     return timings
+
+
+def host_calibration() -> dict:
+    """Fixed-work CPU anchor reported with every bench line.
+
+    The sandbox VM's effective CPU speed swings with hypervisor
+    contention (same-code reruns have measured 92.6k-106.5k t/s in one
+    hour — PIPELINE_AB.jsonl — and 13k-24k t/s a few hours later with
+    zero code change, all trivial scan-bound queries slowed ~10x
+    alongside).  Shipping a deterministic calibration with the
+    throughput number lets any reader separate host state from plan
+    regressions: sha256 over fixed buffers, single-thread and
+    32-thread (hashlib releases the GIL on large buffers, so the MT
+    number reflects effective core count).  `effective_cores` is the
+    parallel speedup implied by the pair (32 threads x 1/4 the work
+    each): ~32 on an uncontended box, and 2.5 during the round-5
+    slow window — matching the 4x pipeline-throughput collapse measured
+    the same hour on unchanged code.
+    """
+    import concurrent.futures
+    import hashlib
+
+    buf = b"\xab" * (1 << 20)
+
+    def one(n):
+        h = hashlib.sha256()
+        for _ in range(n):
+            h.update(buf)
+        return h.hexdigest()
+
+    t0 = time.monotonic()
+    one(1200)
+    single = round(time.monotonic() - t0, 3)
+    t0 = time.monotonic()
+    with concurrent.futures.ThreadPoolExecutor(32) as ex:
+        list(ex.map(one, [300] * 32))
+    mt32 = round(time.monotonic() - t0, 3)
+    return {
+        "sha256_single_s": single,
+        "sha256_mt32_s": mt32,
+        "effective_cores": round(single * 8 / mt32, 1),
+    }
 
 
 def main() -> None:
@@ -270,8 +321,10 @@ def main() -> None:
         "triples_per_sec": thr["triples_per_sec"],
         "pipeline_rounds": rounds,
         "pipeline_samples": [s["triples_per_sec"] for s in samples],
-        "note": ("headline set grew in round 4 by q_minhash_compact and "
-                 "q_clean_corpus; compare round-over-round on the shared "
+        "host_cal": host_calibration(),
+        "note": ("headline set grew in round 4 (q_minhash_compact, "
+                 "q_clean_corpus) and round 5 (q_line_dedup, q_pagerank, "
+                 "q_bm25); compare round-over-round on the shared "
                  "queries, not the total; triples_per_sec is the median "
                  "of pipeline_samples (fresh JVMs)"),
     }))

@@ -274,3 +274,60 @@ def test_windowed_event_stats_complete_mode_out_of_order(spark, tmp_path):
             n + 1, min(lo, uid), max(hi, uid), min(vlo, val), max(vhi, val)
         )
     assert got == expect
+
+
+def test_streaming_session_window(spark, tmp_path):
+    """session_stats_stream emits one closed session per (user, burst):
+    two bursts split by a gap longer than the threshold, fed as separate
+    micro-batches; append mode emits each session once the watermark
+    passes its end."""
+    from wikdict_gen_spark.streaming.windows import session_stats_stream
+
+    src = tmp_path / "ev_landing"
+    src.mkdir()
+
+    def _events_table(rows):
+        # rows: (event_id, user_id, ts_offset_minutes)
+        return pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "user_id": pa.array([r[1] for r in rows], pa.int64()),
+                "ts": pa.array(
+                    [T0 + datetime.timedelta(minutes=r[2]) for r in rows],
+                    pa.timestamp("us", tz="UTC"),
+                ),
+            }
+        )
+
+    # burst 1 (3 events in 10 min), burst 2 ninety minutes later, plus a
+    # watermark-advancing sentinel far in the future so both sessions close
+    pq.write_table(
+        _events_table([(1, 7, 0), (2, 7, 5), (3, 7, 10), (4, 8, 0)]),
+        src / "b1.parquet",
+    )
+    pq.write_table(
+        _events_table([(5, 7, 100), (6, 9, 100_000)]), src / "b2.parquet"
+    )
+
+    reader = spark.readStream.schema("event_id long, user_id long, ts timestamp")
+    stream = reader.option("maxFilesPerTrigger", "1").parquet(str(src))
+    out = session_stats_stream(stream, gap="30 minutes", watermark="10 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sessions_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql(
+        "SELECT * FROM sessions_sink ORDER BY user_id, session_start"
+    ).collect()
+    by_key = {(r["user_id"], r["session_start"].minute): r for r in rows}
+    # user 7 burst 1: 3 events, end = last(+10min) + 30min gap
+    b1 = by_key[(7, 0)]
+    assert b1["n_events"] == 3
+    assert (b1["session_end"] - b1["session_start"]).total_seconds() == 40 * 60
+    # user 7 burst 2 (90-min silence > 30-min gap): separate session
+    assert by_key[(7, 40)]["n_events"] == 1
+    assert by_key[(8, 0)]["n_events"] == 1

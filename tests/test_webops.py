@@ -330,3 +330,42 @@ class TestBM25:
         }
         # doc 10 matches both; the rare term's idf dominates
         assert got[10] > max(v for k, v in got.items() if k != 10)
+
+
+class TestDuplicatedSpans:
+    def test_planted_template(self, spark):
+        from wikdict_gen_spark.operators import dedup
+
+        template = "all rights reserved by the site"
+        docs = spark.createDataFrame(
+            [
+                (1, f"unique alpha words here {template}"),
+                (2, f"{template} other beta content entirely"),
+                (3, "nothing shared with anyone at all today"),
+                (4, "tiny"),  # < k tokens: zero spans
+            ],
+            "doc_id long, text string",
+        )
+        out = {
+            r["doc_id"]: r
+            for r in dedup.duplicated_span_stats(docs, k=6, min_docs=2).collect()
+        }
+        # the 6-token template yields exactly one shared 6-gram per doc
+        assert out[1]["n_dup_spans"] == 1 and out[2]["n_dup_spans"] == 1
+        assert out[3]["n_dup_spans"] == 0
+        assert out[4]["n_spans"] == 0 and out[4]["dup_span_frac"] == 0.0
+        assert out[1]["dup_span_frac"] == 1 / out[1]["n_spans"]
+
+    def test_within_doc_repeat_not_cross_doc(self, spark):
+        from wikdict_gen_spark.operators import dedup
+
+        # the same span twice in ONE doc: count(DISTINCT doc) = 1 < 2
+        docs = spark.createDataFrame(
+            [(1, "x y z w x y z w"), (2, "a b c d e f g h")],
+            "doc_id long, text string",
+        )
+        out = {
+            r["doc_id"]: r
+            for r in dedup.duplicated_span_stats(docs, k=4, min_docs=2).collect()
+        }
+        assert out[1]["n_dup_spans"] == 0 and out[2]["n_dup_spans"] == 0

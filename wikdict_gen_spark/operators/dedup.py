@@ -474,3 +474,77 @@ def incremental_dedup(
     return batch.join(
         seen_hashes.select("content_hash").distinct(), "content_hash", "left_anti"
     )
+
+
+def duplicated_span_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    min_docs: int = 2,
+    materialize: bool = True,
+) -> DataFrame:
+    """Exact-substring duplication signal: per document, how many of its
+    k-token spans also occur in >= `min_docs` OTHER-or-same documents —
+    the corpus-level "duplicated substring" statistic exact-substring
+    dedup pipelines gate on (memorization risk scales with verbatim span
+    reuse, not whole-document identity, which is why this exists beside
+    MinHash: a page can be 30% template and 70% fresh and no document-
+    level signature flags it).
+
+    Returns (id, n_spans, n_dup_spans, dup_span_frac); documents shorter
+    than k tokens report 0 spans / 0.0 frac.
+
+    Scale shape (same discipline as webclean.strip_boilerplate_lines):
+    the rolling-gram table is derived in ONE pass and localCheckpoint-
+    materialized because both the frequency aggregation and the per-doc
+    rollup consume it; the shuffle moves 32-byte gram hashes, never span
+    text; the frequent-gram inventory is the heavy tail (template
+    sentences shared by thousands of pages), so it broadcasts, and the
+    per-doc rollup keys on the skew-free doc id.  dup_span_frac is a
+    single exact bigint/bigint double division, so the row sits under
+    the hash oracle with no rounding.
+    """
+    toks = F.split(_norm_text(F.col(text_col)), " ")
+    # guard the short-doc case explicitly: sequence(1, 0) is DESCENDING
+    # [1, 0] in Spark, not empty, and would feed slice() a 0 start
+    grams = F.when(
+        F.size(toks) >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - k + 1),
+            lambda i: F.md5(F.array_join(F.slice(toks, i, k), " ")),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    spans = docs.select(F.col(id_col), F.explode(grams).alias("gh"))
+    if materialize:
+        from pyspark import StorageLevel
+
+        spans = spans.localCheckpoint(
+            eager=False, storageLevel=StorageLevel(True, True, False, False, 1)
+        )
+    freq = (
+        spans.groupBy("gh")
+        .agg(F.countDistinct(id_col).alias("n_docs"))
+        .where(F.col("n_docs") >= F.lit(int(min_docs)))
+    )
+    flagged = spans.join(
+        F.broadcast(freq.select("gh", F.lit(True).alias("is_dup"))), "gh", "left"
+    )
+    per_doc = flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.col("is_dup").isNotNull().cast("long")).alias("n_dup_spans"),
+    )
+    return (
+        docs.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+            F.coalesce("n_dup_spans", F.lit(0)).alias("n_dup_spans"),
+            F.when(F.coalesce("n_spans", F.lit(0)) == 0, F.lit(0.0))
+            .otherwise(
+                F.col("n_dup_spans").cast("double") / F.col("n_spans")
+            )
+            .alias("dup_span_frac"),
+        )
+    )

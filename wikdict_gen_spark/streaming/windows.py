@@ -217,3 +217,41 @@ def streaming_exact_dedup(
             else GroupStateTimeout.ProcessingTimeTimeout
         ),
     )
+
+
+def session_stats_stream(
+    events_stream: DataFrame,
+    gap: str = "4 hours",
+    watermark: str = "1 day",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming gap-based sessionization via Spark's native
+    `session_window`: one row per (user, session), where a session closes
+    once the user is silent for `gap` AND the watermark has passed its
+    end (so a session is emitted exactly once, in append mode).
+
+    The batch twin is `operators/sessions.py::session_stats` (explicit
+    lag -> flag -> running-index arithmetic); both implement the same
+    inactivity-gap semantics, and the entry-point row `q_session_window`
+    cross-checks Spark's built-in session assignment against the
+    independent lag/cumsum SQL derivation at second granularity.
+
+    State bound: open sessions per active user — closed by watermark
+    passage, so state is O(users active within the watermark horizon),
+    never O(history).  Session merging (two open windows bridged by a
+    late event inside the watermark) is handled by the operator itself;
+    that is the part the hand-rolled batch arithmetic cannot express
+    incrementally and WHY the streaming path uses the built-in.
+    """
+    return (
+        events_stream.withWatermark(ts_col, watermark)
+        .groupBy(F.col(user_col), F.session_window(F.col(ts_col), gap).alias("sw"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            user_col,
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+        )
+    )
