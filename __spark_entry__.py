@@ -2442,6 +2442,50 @@ FROM documents d LEFT JOIN per USING (doc_id)
 """
 
 
+def q_decontam(spark, sf_dir):
+    """dedup.contamination_stats: benchmark decontamination — per training
+    document, how many of its 6-token spans appear verbatim in any
+    "benchmark" example (here: the doc_id % 97 == 0 slice plays the held
+    -out eval suite; the 96/97 remainder is the training corpus).  The
+    benchmark gram inventory is DISTINCT + broadcast, so the corpus is
+    scanned once with no text shuffle; contam_frac is an exact
+    bigint/bigint double division."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 97 == 0).select("text")
+    train = docs.where(F.col("doc_id") % 97 != 0)
+    return D.contamination_stats(train, bench, k=6, min_hits=1)
+
+
+_ORACLE_KG["q_decontam"] = """
+WITH toks AS (
+    SELECT doc_id,
+           string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+    FROM documents
+),
+grams AS (
+    SELECT doc_id, md5(array_to_string(t[i:i+5], ' ')) AS gh
+    FROM toks, unnest(range(1, len(t) - 6 + 2)) AS u(i)
+    WHERE len(t) >= 6
+),
+inv AS (SELECT DISTINCT gh FROM grams WHERE doc_id % 97 = 0),
+per AS (
+    SELECT doc_id, count(*) AS n_spans,
+           CAST(sum(CASE WHEN gh IN (SELECT gh FROM inv) THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_contam
+    FROM grams WHERE doc_id % 97 <> 0 GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(n_spans, 0) AS n_spans,
+       coalesce(n_contam, 0) AS n_contam_spans,
+       CASE WHEN coalesce(n_spans, 0) = 0 THEN CAST(0.0 AS DOUBLE)
+            ELSE CAST(n_contam AS DOUBLE) / n_spans END AS contam_frac,
+       CAST(CASE WHEN coalesce(n_contam, 0) >= 1 THEN 1 ELSE 0 END AS INT)
+           AS is_contaminated
+FROM documents d LEFT JOIN per USING (doc_id)
+WHERE d.doc_id % 97 <> 0
+"""
+
+
 def q_session_window(spark, sf_dir):
     """Spark's native session_window (gap 4h) in batch mode, cross-
     checked against an independent lag/cumsum SQL derivation.  Boundary
@@ -2557,6 +2601,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bm25": q_bm25,
         "q_dup_spans": q_dup_spans,
         "q_session_window": q_session_window,
+        "q_decontam": q_decontam,
     }
 
 

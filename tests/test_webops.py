@@ -369,3 +369,67 @@ class TestDuplicatedSpans:
             for r in dedup.duplicated_span_stats(docs, k=4, min_docs=2).collect()
         }
         assert out[1]["n_dup_spans"] == 0 and out[2]["n_dup_spans"] == 0
+
+
+class TestContamination:
+    def test_planted_benchmark_overlap(self, spark):
+        from wikdict_gen_spark.operators import dedup
+
+        eval_q = "what is the capital of france in europe"
+        bench = spark.createDataFrame([(eval_q,)], "text string")
+        docs = spark.createDataFrame(
+            [
+                (1, f"trivia dump says {eval_q} and more filler text"),
+                (2, "clean document with entirely original phrasing inside"),
+                (3, "short doc"),  # < k tokens: zero spans
+            ],
+            "doc_id long, text string",
+        )
+        out = {
+            r["doc_id"]: r
+            for r in dedup.contamination_stats(docs, bench, k=6).collect()
+        }
+        # the 8-token eval question contributes 3 shared 6-grams to doc 1
+        assert out[1]["is_contaminated"] == 1 and out[1]["n_contam_spans"] == 3
+        assert out[2]["is_contaminated"] == 0 and out[2]["n_contam_spans"] == 0
+        assert out[3]["n_spans"] == 0 and out[3]["is_contaminated"] == 0
+        assert out[1]["contam_frac"] == 3 / out[1]["n_spans"]
+
+    def test_min_hits_threshold(self, spark):
+        from wikdict_gen_spark.operators import dedup
+
+        bench = spark.createDataFrame(
+            [("alpha beta gamma delta epsilon zeta",)], "text string"
+        )
+        docs = spark.createDataFrame(
+            [(1, "alpha beta gamma delta epsilon zeta trailing words here")],
+            "doc_id long, text string",
+        )
+        # exactly one shared 6-gram: flagged at min_hits=1, clean at 2
+        one = dedup.contamination_stats(docs, bench, k=6, min_hits=1).collect()[0]
+        two = dedup.contamination_stats(docs, bench, k=6, min_hits=2).collect()[0]
+        assert one["n_contam_spans"] == 1
+        assert one["is_contaminated"] == 1 and two["is_contaminated"] == 0
+
+    def test_shuffle_join_path_matches_broadcast(self, spark):
+        from wikdict_gen_spark.operators import dedup
+
+        bench = spark.createDataFrame(
+            [("one two three four five six seven",)], "text string"
+        )
+        docs = spark.createDataFrame(
+            [(1, "zero one two three four five six seven eight"),
+             (2, "none of these words match anything benchmarked at all")],
+            "doc_id long, text string",
+        )
+        a = sorted(
+            dedup.contamination_stats(docs, bench, k=6).collect(),
+            key=lambda r: r["doc_id"],
+        )
+        b = sorted(
+            dedup.contamination_stats(
+                docs, bench, k=6, broadcast_inventory=False
+            ).collect(),
+            key=lambda r: r["doc_id"],
+        )
+        assert [r.asDict() for r in a] == [r.asDict() for r in b]

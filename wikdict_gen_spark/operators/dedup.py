@@ -476,6 +476,23 @@ def incremental_dedup(
     )
 
 
+def _rolling_gram_hashes(text_col: str, k: int):
+    """Array of md5 hashes of the k-token rolling spans of normalized text.
+
+    Guards the short-doc case explicitly: sequence(1, 0) is DESCENDING
+    [1, 0] in Spark, not empty, and would feed slice() a 0 start —
+    documents shorter than k tokens yield an empty array instead.
+    """
+    toks = F.split(_norm_text(F.col(text_col)), " ")
+    return F.when(
+        F.size(toks) >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - k + 1),
+            lambda i: F.md5(F.array_join(F.slice(toks, i, k), " ")),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def duplicated_span_stats(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -505,17 +522,9 @@ def duplicated_span_stats(
     single exact bigint/bigint double division, so the row sits under
     the hash oracle with no rounding.
     """
-    toks = F.split(_norm_text(F.col(text_col)), " ")
-    # guard the short-doc case explicitly: sequence(1, 0) is DESCENDING
-    # [1, 0] in Spark, not empty, and would feed slice() a 0 start
-    grams = F.when(
-        F.size(toks) >= k,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - k + 1),
-            lambda i: F.md5(F.array_join(F.slice(toks, i, k), " ")),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    spans = docs.select(F.col(id_col), F.explode(grams).alias("gh"))
+    spans = docs.select(
+        F.col(id_col), F.explode(_rolling_gram_hashes(text_col, k)).alias("gh")
+    )
     if materialize:
         from pyspark import StorageLevel
 
@@ -546,5 +555,75 @@ def duplicated_span_stats(
                 F.col("n_dup_spans").cast("double") / F.col("n_spans")
             )
             .alias("dup_span_frac"),
+        )
+    )
+
+
+def contamination_stats(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+    k: int = 6,
+    min_hits: int = 1,
+    broadcast_inventory: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination: per training document, how many of its
+    k-token spans appear verbatim in ANY benchmark example — the
+    test-set-overlap gate every serious training-data pipeline runs
+    before a corpus ships (a train doc that quotes an eval question
+    inflates the eval; the standard remedy is the 13-gram-overlap filter
+    of GPT-3 appendix C / PaLM, expressed here at configurable k).
+
+    Returns (id, n_spans, n_contam_spans, contam_frac, is_contaminated)
+    for every row of `docs`; `is_contaminated` is an int flag
+    (n_contam_spans >= min_hits), and documents shorter than k tokens
+    report 0 spans / 0.0 frac / not contaminated.
+
+    Scale shape: the benchmark side is the small one by construction
+    (eval suites are thousands of items against 10^12 training docs), so
+    its DISTINCT gram inventory — 32-byte hashes, deduped — broadcasts
+    and the corpus is touched in exactly ONE pass with no shuffle of
+    document text at all; the only shuffle is the per-doc count rollup
+    on the skew-free doc id.  Set broadcast_inventory=False for a
+    pathologically large benchmark and the same plan degrades gracefully
+    to a hash join on the gram hash.  contam_frac is one exact
+    bigint/bigint double division, so the row sits under the hash oracle
+    with no rounding.
+    """
+    inventory = (
+        benchmark.select(
+            F.explode(_rolling_gram_hashes(bench_text_col, k)).alias("gh")
+        )
+        .distinct()
+        .withColumn("is_hit", F.lit(True))
+    )
+    if broadcast_inventory:
+        inventory = F.broadcast(inventory)
+    spans = docs.select(
+        F.col(id_col), F.explode(_rolling_gram_hashes(text_col, k)).alias("gh")
+    )
+    per_doc = (
+        spans.join(inventory, "gh", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(F.col("is_hit").isNotNull().cast("long")).alias("n_contam_spans"),
+        )
+    )
+    return (
+        docs.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+            F.coalesce("n_contam_spans", F.lit(0)).alias("n_contam_spans"),
+            F.when(F.coalesce("n_spans", F.lit(0)) == 0, F.lit(0.0))
+            .otherwise(F.col("n_contam_spans").cast("double") / F.col("n_spans"))
+            .alias("contam_frac"),
+            (F.coalesce("n_contam_spans", F.lit(0)) >= F.lit(int(min_hits)))
+            .cast("int")
+            .alias("is_contaminated"),
         )
     )

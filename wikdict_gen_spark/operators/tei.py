@@ -394,8 +394,9 @@ TEI_TEMPLATE = """
 """
 
 # written verbatim before the rendered tree (ref tei.py:432-442 writes this
-# block stripped + '\n'; the tree's own single-quoted declaration follows —
-# a reference quirk kept byte-for-byte)
+# block stripped + '\n'; ET.tostring(..., 'utf-8') emits no declaration on
+# this Python, so these are the file's only declarations — matches the
+# checked-in golden)
 TEI_FILE_DECLARATIONS = """<?xml version="1.0" encoding="UTF-8"?>
 <?xml-stylesheet type="text/css" href="freedict-dictionary.css"?>
 <?oxygen RNGSchema="freedict-P5.rng" type="xml"?>
