@@ -2442,6 +2442,33 @@ FROM documents d LEFT JOIN per USING (doc_id)
 """
 
 
+def q_source_stats(spark, sf_dir):
+    """corpus_stats.source_stats: exact per-(source, lang) corpus health
+    rollup — doc count, distinct-content count, duplicate rate, mean
+    quality, mean chars.  All divisions are exact bigint/bigint (quality
+    sums are quarter-increments, exact in binary), so every column sits
+    under the hash compare.  The sketch twin (corpus_sketches, HLL++ +
+    KLL quantiles, one combiner pass) is pinned by pytest error bounds
+    instead — sketch values are engine-specific by design."""
+    from wikdict_gen_spark.operators import corpus_stats as CS
+
+    return CS.source_stats(_t(spark, sf_dir, "documents"))
+
+
+def q_corpus_sketches(spark, sf_dir):
+    """corpus_stats.corpus_sketches: the sketch tier of the corpus rollup —
+    HLL++ approximate distinct content + percentile_approx length
+    quantiles per lang, ONE combiner-friendly pass (a few KB of sketch
+    state per group instead of shuffling every content hash).  No DuckDB
+    oracle ON PURPOSE: sketch values are engine-specific; the accuracy
+    contract (|approx-exact|/exact <= 3*rsd, quantiles within rank error)
+    is pinned by tests/test_corpus_stats.py against the exact tier
+    (q_source_stats) on the same input."""
+    from wikdict_gen_spark.operators import corpus_stats as CS
+
+    return CS.corpus_sketches(_t(spark, sf_dir, "documents"))
+
+
 def q_decontam(spark, sf_dir):
     """dedup.contamination_stats: benchmark decontamination — per training
     document, how many of its 6-token spans appear verbatim in any
@@ -2454,6 +2481,25 @@ def q_decontam(spark, sf_dir):
     bench = docs.where(F.col("doc_id") % 97 == 0).select("text")
     train = docs.where(F.col("doc_id") % 97 != 0)
     return D.contamination_stats(train, bench, k=6, min_hits=1)
+
+
+_ORACLE_KG["q_source_stats"] = f"""
+WITH q AS ({_ORACLE_KG["q_quality_score"]}),
+h AS (
+    SELECT d.source, d.lang,
+           md5(trim(regexp_replace(lower(d.text), '\\s+', ' ', 'g'))) AS ch,
+           length(d.text) AS n_chars, q.quality
+    FROM documents d JOIN q USING (doc_id)
+)
+SELECT source, lang,
+    count(*) AS n_docs,
+    count(DISTINCT ch) AS n_distinct,
+    CAST(count(*) - count(DISTINCT ch) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        AS dup_rate,
+    sum(quality) / CAST(count(*) AS DOUBLE) AS mean_quality,
+    CAST(sum(n_chars) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_chars
+FROM h GROUP BY source, lang
+"""
 
 
 _ORACLE_KG["q_decontam"] = """
@@ -2602,6 +2648,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dup_spans": q_dup_spans,
         "q_session_window": q_session_window,
         "q_decontam": q_decontam,
+        "q_source_stats": q_source_stats,
+        "q_corpus_sketches": q_corpus_sketches,
     }
 
 
