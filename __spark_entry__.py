@@ -2442,6 +2442,119 @@ FROM documents d LEFT JOIN per USING (doc_id)
 """
 
 
+# Deterministic synthetic URL table over `documents` — ONE SQL text run by
+# BOTH engines (temp view on the Spark side, inlined CTE in the DuckDB
+# oracle), per the shared-derivation discipline.  Five URL shapes covering
+# every canonicalization rule: upper-cased scheme/host + default port +
+# tracking params + fragment (case 0), default http port + mixed tracking
+# (1), fragment on a file path (2), tracking-only query that must drop its
+# '?' (3), and a bare root that is a genuine per-source duplicate (4).
+_URL_SQL = """
+SELECT doc_id,
+    CASE doc_id % 5
+      WHEN 0 THEN 'HTTPS://WWW.' || source || '.Example.COM:443/Docs/'
+                  || CAST(doc_id AS STRING) || '/?utm_source=feed&page='
+                  || CAST(doc_id % 7 AS STRING) || '&fbclid=abc123#frag'
+      WHEN 1 THEN 'http://' || source || '.example.com:80/docs/'
+                  || CAST(doc_id AS STRING) || '?page='
+                  || CAST(doc_id % 7 AS STRING) || '&utm_medium=email&ref=home'
+      WHEN 2 THEN 'https://' || source || '.example.com/docs/'
+                  || CAST(doc_id AS STRING) || '/index.html#section-2'
+      WHEN 3 THEN 'https://cdn.' || source || '.example.com/assets/'
+                  || CAST(doc_id AS STRING) || '?gclid=xyz'
+      ELSE 'https://' || source || '.example.com/'
+    END AS url
+FROM documents
+"""
+
+# Independent DuckDB re-derivation of webclean.canonicalize_urls (regex
+# parse -> lowercase scheme/host -> default-port strip -> tracking-param
+# filter -> path/trailing-slash normalization), reused by both URL rows.
+_URL_CANON_CTES = f"""
+urls AS ({_URL_SQL}),
+ub AS (SELECT doc_id, trim(url) AS turl,
+              regexp_replace(trim(url), '#.*$', '') AS u FROM urls),
+up AS (
+  SELECT doc_id, turl,
+    lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+    lower(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1))
+        AS hostport,
+    regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$', 1) AS rest
+  FROM ub
+),
+uh AS (
+  SELECT *, CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
+                 WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+                 ELSE hostport END AS host
+  FROM up
+),
+uq AS (
+  SELECT *, regexp_extract(rest, '^([^?]*)', 1) AS path,
+         CASE WHEN strpos(rest, '?') > 0
+              THEN regexp_extract(rest, '\\?(.*)$', 1) ELSE '' END AS query
+  FROM uh
+),
+ucanon AS (
+  SELECT doc_id, turl, scheme, host,
+    CASE WHEN scheme = '' THEN turl
+         ELSE scheme || '://' || host
+              || (CASE WHEN regexp_replace(path, '/+$', '') = '' THEN '/'
+                       ELSE regexp_replace(path, '/+$', '') END)
+              || (CASE WHEN kept = '' THEN '' ELSE '?' || kept END)
+    END AS canonical_url
+  FROM (
+    -- coalesce: DuckDB's array_to_string on an EMPTY list is NULL where
+    -- Spark's array_join is '' — without it every no-query url goes NULL
+    SELECT *, coalesce(array_to_string(list_filter(string_split(query, '&'),
+        x -> NOT (starts_with(regexp_extract(x, '^([^=]*)', 1), 'utm_')
+                  OR regexp_extract(x, '^([^=]*)', 1)
+                     IN ('gclid', 'fbclid', 'msclkid', 'mc_eid', 'ref')
+                  OR x = '')), '&'), '') AS kept
+    FROM uq
+  )
+)
+"""
+
+
+def q_url_canon(spark, sf_dir):
+    """webclean.canonicalize_urls: RFC-3986-style URL normalization —
+    fragment strip, scheme/host lowercase, default-port drop, tracking-
+    param removal (order-preserving), trailing-slash/empty-path rules.
+    Pure fused string algebra, zero shuffle; the oracle re-derives every
+    rule independently in DuckDB over the same synthetic URL table."""
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    urls = spark.sql(_URL_SQL)
+    return WC.canonicalize_urls(urls).select("doc_id", "canonical_url", "host")
+
+
+_ORACLE_KG["q_url_canon"] = f"""
+WITH {_URL_CANON_CTES}
+SELECT doc_id, canonical_url, host FROM ucanon
+"""
+
+
+def q_host_stats(spark, sf_dir):
+    """webclean.host_stats: per-host crawl rollup over canonical URLs —
+    page count, distinct resources, URL-duplicate rate (the mass a
+    url-dedup pass removes; the root-path shape in the synthetic table
+    plants genuine per-host duplicates).  One combiner shuffle on host;
+    dup_rate exact bigint/bigint."""
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    urls = spark.sql(_URL_SQL)
+    return WC.host_stats(urls)
+
+
+_ORACLE_KG["q_host_stats"] = f"""
+WITH {_URL_CANON_CTES}
+SELECT host,
+    count(*) AS n_pages,
+    count(DISTINCT canonical_url) AS n_urls,
+    CAST(count(*) - count(DISTINCT canonical_url) AS DOUBLE)
+        / CAST(count(*) AS DOUBLE) AS dup_rate
+FROM ucanon GROUP BY host
+"""
+
+
 def q_source_stats(spark, sf_dir):
     """corpus_stats.source_stats: exact per-(source, lang) corpus health
     rollup — doc count, distinct-content count, duplicate rate, mean
@@ -2650,6 +2763,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_decontam": q_decontam,
         "q_source_stats": q_source_stats,
         "q_corpus_sketches": q_corpus_sketches,
+        "q_url_canon": q_url_canon,
+        "q_host_stats": q_host_stats,
     }
 
 

@@ -433,3 +433,57 @@ class TestContamination:
             key=lambda r: r["doc_id"],
         )
         assert [r.asDict() for r in a] == [r.asDict() for r in b]
+
+
+class TestUrlCanonicalization:
+    def _canon(self, spark, urls):
+        from wikdict_gen_spark.operators.webclean import canonicalize_urls
+
+        df = spark.createDataFrame([(i, u) for i, u in enumerate(urls)],
+                                   "doc_id long, url string")
+        rows = canonicalize_urls(df).orderBy("doc_id").collect()
+        return [(r["canonical_url"], r["host"]) for r in rows]
+
+    def test_rules(self, spark):
+        got = self._canon(spark, [
+            "HTTPS://WWW.Site.COM:443/A/b/?utm_source=x&q=1&fbclid=z#top",
+            "http://site.com:80/",
+            "https://site.com:8443/keep-port",
+            "https://site.com/p?utm_a=1&utm_b=2",   # query empties -> no '?'
+            "https://site.com",                      # empty path -> '/'
+            "  https://site.com/x//  ",              # trim + multi trailing slash
+            "not a url at all",                      # passthrough (trimmed)
+            "ftp://Mixed.Case/path:80",              # non-http: port untouched
+        ])
+        assert got[0] == ("https://www.site.com/A/b?q=1", "www.site.com")
+        assert got[1] == ("http://site.com/", "site.com")
+        assert got[2] == ("https://site.com:8443/keep-port", "site.com:8443")
+        assert got[3] == ("https://site.com/p", "site.com")
+        assert got[4] == ("https://site.com/", "site.com")
+        assert got[5] == ("https://site.com/x", "site.com")
+        assert got[6] == ("not a url at all", "")
+        assert got[7] == ("ftp://mixed.case/path:80", "mixed.case")
+
+    def test_param_order_and_ref_exactness(self, spark):
+        # remaining params keep order; 'ref' drops only as the WHOLE name
+        got = self._canon(spark, [
+            "https://h/p?b=2&ref=x&a=1&referrer=keep&gclid=g",
+        ])
+        assert got[0][0] == "https://h/p?b=2&a=1&referrer=keep"
+
+    def test_host_stats_dup_rate(self, spark):
+        from wikdict_gen_spark.operators.webclean import host_stats
+
+        df = spark.createDataFrame(
+            [
+                (1, "https://a.com/x?utm_source=1"),
+                (2, "https://a.com/x#frag"),        # same canonical as 1
+                (3, "https://a.com/y"),
+                (4, "https://b.com/only"),
+            ],
+            "doc_id long, url string",
+        )
+        out = {r["host"]: r for r in host_stats(df).collect()}
+        a = out["a.com"]
+        assert a["n_pages"] == 3 and a["n_urls"] == 2 and a["dup_rate"] == 1 / 3
+        assert out["b.com"]["dup_rate"] == 0.0

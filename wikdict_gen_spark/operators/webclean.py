@@ -176,3 +176,101 @@ def pii_scrub(docs: DataFrame, text_col: str = "text",
         )
         scrubbed = F.regexp_replace(scrubbed, pat, PII_TOKEN[kind])
     return out.withColumn("text_scrubbed", scrubbed)
+
+
+# Query-param names dropped by canonicalize_urls: click/campaign trackers
+# that change per referral without changing the resource.  Checked by NAME
+# (the part before '='): utm_* as a prefix class, the rest exact.
+TRACKING_PARAM_PREFIX = "utm_"
+TRACKING_PARAMS = ("gclid", "fbclid", "msclkid", "mc_eid", "ref")
+
+
+def canonicalize_urls(
+    pages: DataFrame, url_col: str = "url", out_col: str = "canonical_url"
+) -> DataFrame:
+    """URL canonicalization — the normalization pass that makes crawl-level
+    URL dedup work: the same resource arrives as
+    `HTTPS://WWW.Site.COM:443/a/?utm_source=x#top` and
+    `https://www.site.com/a`, and byte-equality on raw URLs misses it.
+
+    Rules (each one a plain string-algebra rewrite, all JVM built-ins,
+    zero shuffle — the whole pass fuses into the scan):
+      * strip the fragment (`#...` — client-side only, never sent);
+      * lowercase scheme and host (case-insensitive per RFC 3986) — path
+        case is preserved (significant on most servers);
+      * drop default ports (:80 for http, :443 for https);
+      * drop tracking query params (utm_*, gclid, fbclid, msclkid,
+        mc_eid, ref) keeping the remaining params in their original
+        order; an emptied query drops its '?';
+      * strip trailing slashes from a non-root path; an empty path
+        becomes '/'.
+
+    Rows whose value does not parse as scheme://... pass through
+    trimmed-but-otherwise-untouched (crawls carry garbage; dropping it is
+    a filter's decision, not a normalizer's).  Adds `out_col` and `host`.
+    """
+    u = F.regexp_replace(F.trim(F.col(url_col)), r"#.*$", "")
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    hostport = F.lower(
+        F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+    )
+    rest = F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$", 1)
+    host = (
+        F.when(scheme == "http", F.regexp_replace(hostport, r":80$", ""))
+        .when(scheme == "https", F.regexp_replace(hostport, r":443$", ""))
+        .otherwise(hostport)
+    )
+    path = F.regexp_extract(rest, r"^([^?]*)", 1)
+    npath = F.regexp_replace(path, r"/+$", "")
+    npath = F.when(npath == "", F.lit("/")).otherwise(npath)
+    query = F.when(
+        rest.contains("?"), F.regexp_extract(rest, r"\?(.*)$", 1)
+    ).otherwise(F.lit(""))
+
+    def _keep(p):
+        name = F.regexp_extract(p, r"^([^=]*)", 1)
+        return ~(
+            name.startswith(TRACKING_PARAM_PREFIX)
+            | name.isin(*TRACKING_PARAMS)
+            | (p == "")
+        )
+
+    kept = F.array_join(F.filter(F.split(query, "&"), _keep), "&")
+    canon = F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        npath,
+        F.when(kept == "", F.lit("")).otherwise(F.concat(F.lit("?"), kept)),
+    )
+    return pages.withColumn(
+        out_col, F.when(scheme == "", F.trim(F.col(url_col))).otherwise(canon)
+    ).withColumn("host", host)
+
+
+def host_stats(
+    pages: DataFrame, url_col: str = "url"
+) -> DataFrame:
+    """Per-host crawl rollup over CANONICAL urls: page count, distinct
+    resources, and the URL-level duplicate rate (the mass a url-dedup
+    pass removes — tracking-param churn and fragment noise, which is why
+    this counts canonical rather than raw urls).
+
+    One combiner-friendly shuffle keyed on host; the countDistinct
+    expansion carries (host, canonical_url) so a giant host is still
+    spread across its distinct urls until the final per-host merge, where
+    AQE's skew handling applies.  dup_rate is exact bigint/bigint.
+    """
+    c = canonicalize_urls(pages, url_col)
+    n = F.count(F.lit(1))
+    return (
+        c.groupBy("host")
+        .agg(
+            n.alias("n_pages"),
+            F.countDistinct("canonical_url").alias("n_urls"),
+            (
+                (n - F.countDistinct("canonical_url")).cast("double")
+                / n.cast("double")
+            ).alias("dup_rate"),
+        )
+    )
