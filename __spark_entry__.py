@@ -2645,6 +2645,50 @@ WHERE d.doc_id % 97 <> 0
 """
 
 
+def q_remove_spans(spark, sf_dir):
+    """dedup.remove_duplicated_spans: the destructive twin of q_dup_spans
+    — excise every token covered by a 5-token span recurring in >= 2
+    documents and reassemble the normalized text.  The removal-index
+    explode multiplies only DUPLICATED spans by k, never the corpus; the
+    token excision is an index-aware array HOF on the doc's own row."""
+    return D.remove_duplicated_spans(
+        _t(spark, sf_dir, "documents"), k=5, min_docs=2
+    )
+
+
+_ORACLE_KG["q_remove_spans"] = """
+WITH toks AS (
+    SELECT doc_id,
+           string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+    FROM documents
+),
+grams AS (
+    SELECT doc_id, i, md5(array_to_string(t[i:i+4], ' ')) AS gh
+    FROM toks, unnest(range(1, len(t) - 5 + 2)) AS u(i)
+    WHERE len(t) >= 5
+),
+freq AS (SELECT gh FROM grams GROUP BY gh HAVING count(DISTINCT doc_id) >= 2),
+rem AS (
+    SELECT DISTINCT doc_id, r AS ridx
+    FROM grams, unnest(range(i, i + 5)) AS ur(r)
+    WHERE gh IN (SELECT gh FROM freq)
+),
+tokrows AS (
+    SELECT doc_id, i, t[i] AS tok
+    FROM toks, unnest(range(1, len(t) + 1)) AS u(i)
+)
+SELECT tr.doc_id,
+       count(*) AS n_tokens,
+       CAST(sum(CASE WHEN rem.ridx IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_removed,
+       coalesce(string_agg(CASE WHEN rem.ridx IS NULL THEN tok END,
+                           ' ' ORDER BY tr.i), '') AS text_clean
+FROM tokrows tr
+LEFT JOIN rem ON tr.doc_id = rem.doc_id AND tr.i = rem.ridx
+GROUP BY tr.doc_id
+"""
+
+
 def q_session_window(spark, sf_dir):
     """Spark's native session_window (gap 4h) in batch mode, cross-
     checked against an independent lag/cumsum SQL derivation.  Boundary
@@ -2765,6 +2809,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_corpus_sketches": q_corpus_sketches,
         "q_url_canon": q_url_canon,
         "q_host_stats": q_host_stats,
+        "q_remove_spans": q_remove_spans,
     }
 
 

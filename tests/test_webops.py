@@ -487,3 +487,69 @@ class TestUrlCanonicalization:
         a = out["a.com"]
         assert a["n_pages"] == 3 and a["n_urls"] == 2 and a["dup_rate"] == 1 / 3
         assert out["b.com"]["dup_rate"] == 0.0
+
+
+class TestRemoveDuplicatedSpans:
+    def test_template_excised_everywhere(self, spark):
+        from wikdict_gen_spark.operators import dedup
+
+        tpl = "all rights reserved by site"
+        docs = spark.createDataFrame(
+            [
+                (1, f"intro words {tpl} then unique tail one"),
+                (2, f"{tpl} and other fresh content here"),
+                (3, "totally unrelated text with nothing shared at all"),
+                (4, "tiny"),
+            ],
+            "doc_id long, text string",
+        )
+        out = {
+            r["doc_id"]: r
+            for r in dedup.remove_duplicated_spans(docs, k=5, min_docs=2).collect()
+        }
+        # the shared 5-gram vanishes from BOTH docs (no canonical survives)
+        assert out[1]["text_clean"] == "intro words then unique tail one"
+        assert out[2]["text_clean"] == "and other fresh content here"
+        assert out[1]["n_removed"] == 5 and out[2]["n_removed"] == 5
+        assert out[3]["n_removed"] == 0
+        assert out[4]["text_clean"] == "tiny" and out[4]["n_removed"] == 0
+
+    def test_overlapping_spans_merge_coverage(self, spark):
+        from wikdict_gen_spark.operators import dedup
+
+        # a 6-token shared run yields two overlapping frequent 5-grams;
+        # coverage merges: 6 tokens removed, not 10
+        run = "a b c d e f"
+        docs = spark.createDataFrame(
+            [(1, f"x {run} y"), (2, f"p {run} q")],
+            "doc_id long, text string",
+        )
+        out = {
+            r["doc_id"]: r
+            for r in dedup.remove_duplicated_spans(docs, k=5, min_docs=2).collect()
+        }
+        assert out[1]["n_removed"] == 6 and out[1]["text_clean"] == "x y"
+        assert out[2]["n_removed"] == 6 and out[2]["text_clean"] == "p q"
+
+    def test_stats_and_removal_agree(self, spark):
+        """n_removed > 0 exactly where duplicated_span_stats flags spans."""
+        from wikdict_gen_spark.operators import dedup
+
+        docs = spark.createDataFrame(
+            [
+                (1, "shared prefix tokens run here plus own words alpha"),
+                (2, "shared prefix tokens run here plus own words beta"),
+                (3, "independent content entirely its own thing gamma delta"),
+            ],
+            "doc_id long, text string",
+        )
+        stats = {
+            r["doc_id"]: r["n_dup_spans"]
+            for r in dedup.duplicated_span_stats(docs, k=5, min_docs=2).collect()
+        }
+        removed = {
+            r["doc_id"]: r["n_removed"]
+            for r in dedup.remove_duplicated_spans(docs, k=5, min_docs=2).collect()
+        }
+        for d in stats:
+            assert (stats[d] > 0) == (removed[d] > 0)

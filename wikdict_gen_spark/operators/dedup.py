@@ -627,3 +627,90 @@ def contamination_stats(
             .alias("is_contaminated"),
         )
     )
+
+
+def remove_duplicated_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    min_docs: int = 2,
+    materialize: bool = True,
+) -> DataFrame:
+    """Exact-substring REMOVAL — the destructive twin of
+    `duplicated_span_stats`: delete every token covered by a k-token span
+    that recurs in >= `min_docs` documents, and reassemble the remaining
+    tokens.  This is span-granular boilerplate excision (the Lee-et-al.
+    substring-dedup idea applied as a cleaning pass): the template
+    sentence is cut out of EVERY document carrying it — no canonical
+    occurrence survives, because a span frequent enough to trip the gate
+    is by definition boilerplate, not content.  Operates on the
+    normalized token stream (lowercase, collapsed whitespace) that all
+    dedup ops share, so `text_clean` is normalized text.
+
+    Returns (id, n_tokens, n_removed, text_clean); documents shorter
+    than k tokens pass through untouched.
+
+    Scale shape: the positional-gram table is derived in ONE pass and
+    localCheckpoint-materialized (frequency agg + per-doc removal both
+    consume it); the frequency shuffle moves 32-byte hashes; the
+    frequent-gram inventory broadcasts; and the removal-index explode
+    multiplies only the DUPLICATED spans by k — never the corpus — so a
+    clean corpus pays one scan and a near-empty join.  Token excision is
+    an array HOF on the doc's own row (index-aware filter), no
+    token-level shuffle ever exists.
+    """
+    toks_expr = F.split(_norm_text(F.col(text_col)), " ")
+    base = docs.select(F.col(id_col), toks_expr.alias("__toks"))
+    spans = base.select(
+        F.col(id_col),
+        F.posexplode(
+            F.when(
+                F.size("__toks") >= k,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("__toks") - k + 1),
+                    lambda i: F.md5(
+                        F.array_join(F.slice("__toks", i, k), " ")
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("pos0", "gh"),
+    )
+    if materialize:
+        from pyspark import StorageLevel
+
+        spans = spans.localCheckpoint(
+            eager=False, storageLevel=StorageLevel(True, True, False, False, 1)
+        )
+    freq = (
+        spans.groupBy("gh")
+        .agg(F.countDistinct(id_col).alias("n_docs"))
+        .where(F.col("n_docs") >= F.lit(int(min_docs)))
+        .select("gh")
+    )
+    # dup span at 0-based pos0 covers 1-based token indices
+    # [pos0+1, pos0+k]; explode multiplies dup spans only, then dedup
+    removed = (
+        spans.join(F.broadcast(freq), "gh")
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(F.col("pos0") + 1, F.col("pos0") + k)
+            ).alias("ridx"),
+        )
+        .distinct()
+        .groupBy(id_col)
+        .agg(F.collect_set("ridx").alias("__removed"))
+    )
+    joined = base.join(removed, id_col, "left").withColumn(
+        "__removed", F.coalesce("__removed", F.array().cast("array<int>"))
+    )
+    kept = F.filter(
+        "__toks", lambda t, i: ~F.array_contains("__removed", i + F.lit(1))
+    )
+    return joined.select(
+        F.col(id_col),
+        F.size("__toks").alias("n_tokens"),
+        F.size("__removed").alias("n_removed"),
+        F.array_join(kept, " ").alias("text_clean"),
+    )
