@@ -2689,6 +2689,40 @@ GROUP BY tr.doc_id
 """
 
 
+def q_pack_offsets(spark, sf_dir):
+    """packing.pack_offsets: GPT-style concatenate-and-chunk sequence
+    packing — each document's token-offset range in the corpus-order
+    concatenation and the max_tokens=512 training sequences it spans.
+    The global prefix sum is the two-phase distributed form (range
+    partition -> per-partition window -> one-row-per-partition offsets
+    broadcast back), never a single-task global window; the oracle is
+    the plain single-node window SQL it must equal."""
+    from wikdict_gen_spark.operators.packing import pack_offsets
+
+    return pack_offsets(_t(spark, sf_dir, "documents"), max_tokens=512)
+
+
+_ORACLE_KG["q_pack_offsets"] = """
+WITH t AS (
+    SELECT doc_id,
+           len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '))
+               AS n_tokens
+    FROM documents
+),
+c AS (
+    SELECT doc_id, n_tokens,
+           sum(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED
+                               PRECEDING AND CURRENT ROW) - n_tokens
+               AS start_offset
+    FROM t
+)
+SELECT doc_id, n_tokens, CAST(start_offset AS BIGINT) AS start_offset,
+       CAST(floor(start_offset / 512.0) AS BIGINT) AS seq_start,
+       CAST(floor((start_offset + n_tokens - 1) / 512.0) AS BIGINT) AS seq_end
+FROM c
+"""
+
+
 def q_session_window(spark, sf_dir):
     """Spark's native session_window (gap 4h) in batch mode, cross-
     checked against an independent lag/cumsum SQL derivation.  Boundary
@@ -2810,6 +2844,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_url_canon": q_url_canon,
         "q_host_stats": q_host_stats,
         "q_remove_spans": q_remove_spans,
+        "q_pack_offsets": q_pack_offsets,
     }
 
 

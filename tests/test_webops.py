@@ -553,3 +553,49 @@ class TestRemoveDuplicatedSpans:
         }
         for d in stats:
             assert (stats[d] > 0) == (removed[d] > 0)
+
+
+class TestPackOffsets:
+    def test_prefix_sum_and_chunk_ranges(self, spark):
+        from wikdict_gen_spark.operators.packing import pack_offsets
+
+        docs = spark.createDataFrame(
+            [(i, " ".join(["w"] * (3 + i % 4))) for i in range(50)],
+            "doc_id long, text string",
+        )
+        rows = pack_offsets(docs, max_tokens=10).orderBy("doc_id").collect()
+        off = 0
+        for r in rows:
+            nt = 3 + r["doc_id"] % 4
+            assert r["n_tokens"] == nt
+            assert r["start_offset"] == off
+            assert r["seq_start"] == off // 10
+            assert r["seq_end"] == (off + nt - 1) // 10
+            off += nt
+
+    def test_no_single_task_window(self, spark):
+        """The executed plan must not contain a global (empty-partition-key)
+        window — the whole point of the two-phase prefix sum."""
+        from wikdict_gen_spark.operators.packing import pack_offsets
+
+        docs = spark.createDataFrame(
+            [(i, "a b c") for i in range(100)], "doc_id long, text string"
+        )
+        df = pack_offsets(docs, max_tokens=8)
+        df.count()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        for line in plan.splitlines():
+            if "Window" in line and "windowspecdefinition" in line:
+                assert "__pid" in line, f"global window found: {line[:160]}"
+
+    def test_straddling_document_spans_sequences(self, spark):
+        from wikdict_gen_spark.operators.packing import pack_offsets
+
+        docs = spark.createDataFrame(
+            [(1, " ".join(["a"] * 7)), (2, " ".join(["b"] * 7))],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r for r in pack_offsets(docs, max_tokens=10).collect()}
+        assert (out[1]["seq_start"], out[1]["seq_end"]) == (0, 0)
+        # doc 2 occupies offsets 7..13 -> straddles sequences 0 and 1
+        assert (out[2]["seq_start"], out[2]["seq_end"]) == (0, 1)
