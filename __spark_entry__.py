@@ -2689,6 +2689,44 @@ GROUP BY tr.doc_id
 """
 
 
+# Two deterministic KG "snapshots" over lineitem — overlapping ship-date
+# windows of suppliedBy triples, so the diff exercises all three statuses.
+_SNAP_OLD_SQL = """
+SELECT DISTINCT 'p/' || CAST(l_partkey AS STRING) AS subj,
+       'suppliedBy' AS pred,
+       's/' || CAST(l_suppkey AS STRING) AS obj
+FROM lineitem WHERE l_shipdate < DATE '1995-01-01'
+"""
+_SNAP_NEW_SQL = """
+SELECT DISTINCT 'p/' || CAST(l_partkey AS STRING) AS subj,
+       'suppliedBy' AS pred,
+       's/' || CAST(l_suppkey AS STRING) AS obj
+FROM lineitem WHERE l_shipdate >= DATE '1993-06-01'
+"""
+
+
+def q_snapshot_diff(spark, sf_dir):
+    """materialize.snapshot_diff: triple-level diff between two committed
+    KG snapshots (added / removed / kept) — the incremental-publish
+    delta.  One full-outer join on the whole triple key, so hub subjects
+    spread across their (pred, obj) fan-out."""
+    from wikdict_gen_spark.operators import materialize as M
+
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return M.snapshot_diff(spark.sql(_SNAP_OLD_SQL), spark.sql(_SNAP_NEW_SQL))
+
+
+_ORACLE_KG["q_snapshot_diff"] = f"""
+WITH old2 AS (SELECT *, TRUE AS in_old FROM ({_SNAP_OLD_SQL})),
+new2 AS (SELECT *, TRUE AS in_new FROM ({_SNAP_NEW_SQL}))
+SELECT subj, pred, obj,
+       CASE WHEN in_old IS NULL THEN 'added'
+            WHEN in_new IS NULL THEN 'removed'
+            ELSE 'kept' END AS status
+FROM old2 FULL OUTER JOIN new2 USING (subj, pred, obj)
+"""
+
+
 def q_pack_offsets(spark, sf_dir):
     """packing.pack_offsets: GPT-style concatenate-and-chunk sequence
     packing — each document's token-offset range in the corpus-order
@@ -2845,6 +2883,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_host_stats": q_host_stats,
         "q_remove_spans": q_remove_spans,
         "q_pack_offsets": q_pack_offsets,
+        "q_snapshot_diff": q_snapshot_diff,
     }
 
 

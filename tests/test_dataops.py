@@ -421,3 +421,38 @@ class TestTextStats:
         assert out[1][0] == out[2][0]  # normalized exact dup
         assert out[1][1] == out[2][1]
         assert out[1][0] != out[5][0]
+
+
+class TestSnapshotDiff:
+    def test_three_statuses(self, spark):
+        from wikdict_gen_spark.operators.materialize import snapshot_diff
+
+        old = spark.createDataFrame(
+            [("a", "p", "x"), ("b", "p", "y"), ("c", "p", "z")],
+            "subj string, pred string, obj string",
+        )
+        new = spark.createDataFrame(
+            [("b", "p", "y"), ("c", "p", "z"), ("d", "p", "w")],
+            "subj string, pred string, obj string",
+        )
+        got = {
+            (r["subj"], r["pred"], r["obj"]): r["status"]
+            for r in snapshot_diff(old, new).collect()
+        }
+        assert got[("a", "p", "x")] == "removed"
+        assert got[("d", "p", "w")] == "added"
+        assert got[("b", "p", "y")] == got[("c", "p", "z")] == "kept"
+        assert len(got) == 4
+
+    def test_payload_change_is_kept(self, spark):
+        """Diff identity is the triple key; non-key payload is ignored."""
+        from wikdict_gen_spark.operators.materialize import snapshot_diff
+
+        old = spark.createDataFrame(
+            [("a", "p", "x", 0.1)], "subj string, pred string, obj string, score double"
+        )
+        new = spark.createDataFrame(
+            [("a", "p", "x", 0.9)], "subj string, pred string, obj string, score double"
+        )
+        rows = snapshot_diff(old, new).collect()
+        assert len(rows) == 1 and rows[0]["status"] == "kept"

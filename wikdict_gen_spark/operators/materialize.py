@@ -120,3 +120,36 @@ def build_nodes(entry: DataFrame, importance: DataFrame, canonical: DataFrame) -
         F.col("vocable").alias("canonical_id"),
     )
     return voc_nodes.unionByName(lex_nodes)
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: tuple[str, ...] = ("subj", "pred", "obj"),
+) -> DataFrame:
+    """Triple-level diff between two committed KG snapshots: one row per
+    triple present in either side, with status 'added' (new only),
+    'removed' (old only), or 'kept'.  This is what an incremental
+    publish consumes — ship the added/removed delta instead of the full
+    table — and what a regression gate diffs a rebuild against.
+
+    One full-outer join on the triple key.  At scale both snapshots come
+    out of the same materialization (same partitioning discipline), so
+    writing them bucketed on `subj` makes this diff co-located; the join
+    key includes the full triple, so even hot subjects (hub nodes)
+    spread across their distinct (pred, obj) fan-out, and AQE's skew
+    split covers residual hot keys.  Non-key columns are not compared —
+    a score change on a kept triple is 'kept' (diff identity, not
+    payload; compare payload columns downstream if needed).
+    """
+    keys = list(key_cols)
+    o = old.select(*keys).distinct().withColumn("__in_old", F.lit(True))
+    n = new.select(*keys).distinct().withColumn("__in_new", F.lit(True))
+    j = o.join(n, keys, "full_outer")
+    return j.select(
+        *keys,
+        F.when(F.col("__in_old").isNull(), F.lit("added"))
+        .when(F.col("__in_new").isNull(), F.lit("removed"))
+        .otherwise(F.lit("kept"))
+        .alias("status"),
+    )
