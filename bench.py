@@ -54,6 +54,7 @@ HEADLINE = [
     "q_line_dedup",           # round-5: boilerplate-line removal (single-pass shape)
     "q_pagerank",             # round-5: 3 power iterations, partition-once edges
     "q_bm25",                 # round-5: postings-filtered relevance ranking
+    "q_remove_spans",         # round-5b: substring excision (checkpointed gram trunk)
 ]
 
 
@@ -324,7 +325,7 @@ def main() -> None:
         "host_cal": host_calibration(),
         "note": ("headline set grew in round 4 (q_minhash_compact, "
                  "q_clean_corpus) and round 5 (q_line_dedup, q_pagerank, "
-                 "q_bm25); compare round-over-round on the shared "
+                 "q_bm25, q_remove_spans); compare round-over-round on the shared "
                  "queries, not the total; triples_per_sec is the median "
                  "of pipeline_samples (fresh JVMs)"),
     }))

@@ -54,6 +54,11 @@ def main() -> None:
         ("q_bm25", "BM25: query-term filter pushed beneath the postings aggregation; df/corpus stats broadcast", False),
         ("q_sessionize", "sessionization: one user-key shuffle, window arithmetic + same-key aggregation", True),
         ("q_collocations", "bigram PMI: two partial-agg counts, broadcast unigram joins after the min_count filter", False),
+        ("q_remove_spans", "substring removal: checkpointed positional-gram trunk feeds frequency agg + removal join; broadcast frequent-gram inventory; index-aware array-HOF excision (no token-level shuffle)", True),
+        ("q_decontam", "decontamination: DISTINCT benchmark gram inventory broadcast against a single corpus gram pass", False),
+        ("q_pack_offsets", "sequence packing: range exchange -> per-__pid window (NO global single-task window) -> broadcast base-offset join", True),
+        ("q_host_stats", "per-host rollup over canonical urls: fused string algebra into one combiner-friendly countDistinct expansion", False),
+        ("q_snapshot_diff", "snapshot diff: full-outer SMJ on the whole triple key (hub subjects spread over their fan-out)", False),
         # keep LAST: disables broadcast joins for the whole session to
         # force the cluster-scale SMJ regime
         ("q_pagerank_iter", "one PageRank iteration in the SMJ regime: the persisted hash(src) edge table joins the rank vector with NO exchange on the edge side (Pregel partition-once layout)", True),
