@@ -2727,6 +2727,46 @@ FROM old2 FULL OUTER JOIN new2 USING (subj, pred, obj)
 """
 
 
+def q_temperature_sample(spark, sf_dir):
+    """sampling.temperature_sample: temperature-balanced mixture sampling
+    (T=0.5, target 200 docs over the lang strata) — per-lang keep rates
+    r_s = min(1, M * n_s^2 / (Z * n_s)) from the observed counts, then
+    the deterministic md5 hash gate.  The integral-alpha rate path is one
+    exact-integer division, so the DuckDB oracle re-derives counts ->
+    rates -> 64-bit hex thresholds -> gate and lands on the same rows
+    bit-for-bit."""
+    return SM.temperature_sample(
+        _t(spark, sf_dir, "documents"), temperature=0.5, target_total=200,
+        stratum_col="lang",
+    ).select("doc_id", "lang")
+
+
+_ORACLE_KG["q_temperature_sample"] = """
+WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+z AS (SELECT sum(n * n) AS z FROM c),
+r AS (
+    SELECT lang,
+        CASE WHEN CAST(200 * n * n AS DOUBLE) / CAST(z.z * n AS DOUBLE) > 1.0
+             THEN CAST(1.0 AS DOUBLE)
+             ELSE CAST(200 * n * n AS DOUBLE) / CAST(z.z * n AS DOUBLE)
+        END AS rate
+    FROM c CROSS JOIN z
+),
+t AS (
+    SELECT lang,
+        CASE WHEN rate >= 1.0 THEN 'g'
+             ELSE lpad(lower(to_hex(CAST(floor(
+                      rate * CAST(18446744073709551616 AS DOUBLE))
+                  AS HUGEINT))), 16, '0')
+        END AS thresh
+    FROM r
+)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN t USING (lang)
+WHERE substring(md5('sample:' || CAST(d.doc_id AS STRING)), 1, 16) < t.thresh
+"""
+
+
 def q_pack_offsets(spark, sf_dir):
     """packing.pack_offsets: GPT-style concatenate-and-chunk sequence
     packing — each document's token-offset range in the corpus-order
@@ -2884,6 +2924,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_remove_spans": q_remove_spans,
         "q_pack_offsets": q_pack_offsets,
         "q_snapshot_diff": q_snapshot_diff,
+        "q_temperature_sample": q_temperature_sample,
     }
 
 

@@ -599,3 +599,41 @@ class TestPackOffsets:
         assert (out[1]["seq_start"], out[1]["seq_end"]) == (0, 0)
         # doc 2 occupies offsets 7..13 -> straddles sequences 0 and 1
         assert (out[2]["seq_start"], out[2]["seq_end"]) == (0, 1)
+
+
+class TestTemperatureSampling:
+    def test_rates_math(self):
+        from wikdict_gen_spark.operators.sampling import temperature_rates
+
+        # T=1: natural shares -> every rate is target/total
+        r = temperature_rates({"a": 800, "b": 200}, temperature=1.0,
+                              target_total=100)
+        assert r["a"] == 100 * 0.8 / 800 and r["b"] == 100 * 0.2 / 200
+        # T -> large flattens: the small stratum's rate rises toward cap
+        hot = temperature_rates({"a": 800, "b": 200}, 100.0, 100)
+        assert hot["b"] > r["b"] and hot["a"] < r["a"]
+        # rate caps at 1.0 when the target share exceeds the stratum
+        # (high T pushes the tiny stratum toward a uniform share)
+        cap = temperature_rates({"a": 10, "b": 10000}, 100.0, 20000)
+        assert cap["a"] == 1.0
+        # low T sharpens toward the head instead: the big stratum caps
+        sharp = temperature_rates({"a": 10, "b": 10000}, 0.5, 20000)
+        assert sharp["b"] == 1.0 and sharp["a"] < 0.01
+        # zero-count stratum keeps nothing
+        assert temperature_rates({"a": 0, "b": 5}, 1.0, 3)["a"] == 0.0
+
+    def test_sample_is_deterministic_and_balanced(self, spark):
+        from wikdict_gen_spark.operators.sampling import temperature_sample
+
+        docs = spark.createDataFrame(
+            [(i, "en" if i < 900 else "de") for i in range(1000)],
+            "doc_id long, lang string",
+        )
+        a = {r["doc_id"] for r in
+             temperature_sample(docs, 2.0, 300, key_col="doc_id").collect()}
+        b = {r["doc_id"] for r in
+             temperature_sample(docs, 2.0, 300, key_col="doc_id").collect()}
+        assert a == b
+        # T=2 upsamples the minority lang relative to natural share
+        de = sum(1 for i in a if i >= 900)
+        assert de / max(len(a), 1) > 0.1  # natural share is 0.1

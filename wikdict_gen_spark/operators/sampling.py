@@ -79,3 +79,77 @@ def stratified_sample(
         1, _FULL,
     )
     return docs.where(gate < thresh)
+
+
+def temperature_rates(
+    counts: dict[str, int], temperature: float, target_total: int
+) -> dict[str, float]:
+    """Per-stratum keep rates for temperature-balanced mixture sampling.
+
+    The multilingual-corpus balancing rule: target share of stratum s is
+    q_s = n_s^(1/T) / sum_t n_t^(1/T).  T=1 keeps natural proportions;
+    T->inf approaches uniform shares; T<1 sharpens toward the head.  The
+    keep rate materializing a ~target_total-row corpus with those shares
+    is r_s = min(1, target_total * q_s / n_s).
+
+    Driver-side by design: `counts` is one number per stratum (languages,
+    domains — config-scale, not data-scale).  Pair with
+    `stratified_sample` for the deterministic hash-gate execution."""
+    if temperature <= 0:
+        raise ValueError(f"temperature must be > 0, got {temperature}")
+    if any(n < 0 for n in counts.values()):
+        raise ValueError("stratum counts must be >= 0")
+    alpha = 1.0 / temperature
+    if alpha.is_integer():
+        # exact-integer path (T = 1/k): one correctly-rounded division of
+        # exact integers — engine-portable (an external SQL engine casting
+        # the same integers to double and dividing gets the identical
+        # float while the operands stay below 2^53), which is what lets
+        # the q_temperature_sample oracle reproduce the gate bit-for-bit
+        ai = int(alpha)
+        powed_i = {s: n ** ai for s, n in counts.items() if n > 0}
+        z_i = sum(powed_i.values())
+        if z_i == 0:
+            return {s: 0.0 for s in counts}
+        return {
+            s: (min(1.0, (target_total * powed_i[s]) / (z_i * counts[s]))
+                if s in powed_i else 0.0)
+            for s in counts
+        }
+    powed = {s: float(n) ** alpha for s, n in counts.items() if n > 0}
+    z = sum(powed.values())
+    if z == 0:
+        return {s: 0.0 for s in counts}
+    return {
+        s: (min(1.0, target_total * (powed[s] / z) / counts[s])
+            if s in powed else 0.0)
+        for s in counts
+    }
+
+
+def temperature_sample(
+    docs: DataFrame,
+    temperature: float,
+    target_total: int,
+    stratum_col: str = "lang",
+    key_col: str = "doc_id",
+    salt: str = "sample",
+) -> DataFrame:
+    """Temperature-balanced mixture sampling in one pass + one gate.
+
+    Counts each stratum (a combiner-friendly aggregate whose OUTPUT is
+    one row per stratum — the only collect is config-sized), converts to
+    `temperature_rates`, and applies the deterministic hash gate.  The
+    gate itself is still a pure pushed-down predicate; determinism holds
+    for a FIXED corpus (rates derive from the observed counts — under
+    corpus growth, re-derive rates or pin them explicitly via
+    `stratified_sample` to keep per-row stability)."""
+    counts = {
+        r[stratum_col]: r["n"]
+        for r in docs.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    rates = temperature_rates(counts, temperature, target_total)
+    return stratified_sample(
+        docs, rates, stratum_col=stratum_col, key_col=key_col,
+        default_rate=0.0, salt=salt,
+    )
