@@ -331,3 +331,56 @@ def test_streaming_session_window(spark, tmp_path):
     # user 7 burst 2 (90-min silence > 30-min gap): separate session
     assert by_key[(7, 40)]["n_events"] == 1
     assert by_key[(8, 0)]["n_events"] == 1
+
+
+def test_streaming_session_window_merges_on_late_event(spark, tmp_path):
+    """The reason session_stats_stream uses the BUILT-IN session_window:
+    a late event landing inside the watermark between two open sessions
+    must MERGE them into one — batch-arithmetic twins cannot express that
+    incrementally.  Two bursts 50 minutes apart (gap 30m) would close as
+    two sessions; a bridging event at minute 25 arrives in a later
+    micro-batch and welds them into a single 0..75min session."""
+    from wikdict_gen_spark.streaming.windows import session_stats_stream
+
+    src = tmp_path / "ev_merge"
+    src.mkdir()
+
+    def w(name, rows):
+        pq.write_table(
+            pa.table(
+                {
+                    "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "user_id": pa.array([r[1] for r in rows], pa.int64()),
+                    "ts": pa.array(
+                        [T0 + datetime.timedelta(minutes=r[2]) for r in rows],
+                        pa.timestamp("us", tz="UTC"),
+                    ),
+                }
+            ),
+            src / name,
+        )
+
+    # batch 1: two bursts, 50 min of silence between them (gap is 30 min)
+    w("b1.parquet", [(1, 7, 0), (2, 7, 50)])
+    # batch 2: the bridge at minute 25 (within watermark) + a far-future
+    # sentinel that pushes the watermark past everything so sessions close
+    w("b2.parquet", [(3, 7, 25), (4, 9, 100_000)])
+
+    reader = spark.readStream.schema("event_id long, user_id long, ts timestamp")
+    stream = reader.option("maxFilesPerTrigger", "1").parquet(str(src))
+    out = session_stats_stream(stream, gap="30 minutes", watermark="2 hours")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sessions_merge_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql(
+        "SELECT * FROM sessions_merge_sink WHERE user_id = 7"
+    ).collect()
+    assert len(rows) == 1, [r.asDict() for r in rows]
+    r = rows[0]
+    assert r["n_events"] == 3
+    assert (r["session_end"] - r["session_start"]).total_seconds() == 80 * 60
