@@ -1,0 +1,112 @@
+"""remove_duplicated_spans at bench scale: the plan-shape evidence run.
+
+The substring-removal operator is oracle-verified at sf0.01 (500 docs);
+this is the scale half: a deterministic 600k-document synthetic corpus,
+derived entirely JVM-side from md5(doc_id) (no driver loop, no Python
+UDF), where 10% of documents embed one shared 8-token template mid-text.
+md5-derived 6-hex "words" make accidental 5-gram collisions effectively
+impossible, so ground truth is exact: each template doc must lose
+EXACTLY the 8 covered tokens (the 4 overlapping frequent 5-grams merge
+their coverage), every other doc loses none.
+
+What the run checks in (SPAN_SCALE.json):
+  * correctness at scale: sum(n_removed) == 8 * n_template_docs and
+    zero removals elsewhere;
+  * plan shape after execution: the positional-gram trunk appears as a
+    localCheckpoint (Scan ExistingRDD), the frequent-gram inventory
+    joins as a BroadcastHashJoin, and the corpus parquet/range scan is
+    NOT repeated per consumer;
+  * wall time — read against the host_cal block (this sandbox's
+    effective cores swing 2.5-32x with hypervisor contention).
+
+Usage: python scripts/span_scale.py [n_docs] [cpus]
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import re
+import sys
+import time
+from contextlib import redirect_stdout
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+
+def main() -> None:
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 600_000
+    cpus = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+
+    from bench import host_calibration
+    from wikdict_gen_spark.operators.dedup import remove_duplicated_spans
+    from wikdict_gen_spark.session import get_spark
+
+    spark = get_spark(parallelism=cpus, app_name="span_scale",
+                      shuffle_partitions=cpus * 4)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    ids = spark.range(n_docs).select(F.col("id").alias("doc_id"))
+    word = lambda i: F.substring(  # noqa: E731
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(f":{i}"))), 1, 6
+    )
+    rand_text = F.concat_ws(" ", *[word(i) for i in range(30)])
+    template = "shared template tokens appear here eight words exactly"
+    planted = F.concat_ws(
+        " ", *[word(i) for i in range(10)], F.lit(template),
+        *[word(i) for i in range(18, 30)]
+    )
+    docs = ids.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 10 == 0, planted)
+        .otherwise(rand_text)
+        .alias("text"),
+    )
+
+    t0 = time.monotonic()
+    out = remove_duplicated_spans(docs, k=5, min_docs=2)
+    agg = out.agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.sum("n_removed").alias("total_removed"),
+        F.sum((F.col("n_removed") > 0).cast("long")).alias("docs_touched"),
+        F.max("n_removed").alias("max_removed"),
+    ).collect()[0]
+    wall = round(time.monotonic() - t0, 2)
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+
+    n_template = (n_docs + 9) // 10
+    result = {
+        "n_docs": n_docs,
+        "cpus": cpus,
+        "wall_s": wall,
+        "rows": agg["rows"],
+        "total_removed": agg["total_removed"],
+        "docs_touched": agg["docs_touched"],
+        "max_removed": agg["max_removed"],
+        "expected_removed": 8 * n_template,
+        "correct": (
+            agg["total_removed"] == 8 * n_template
+            and agg["docs_touched"] == n_template
+            and agg["max_removed"] == 8
+        ),
+        "plan": {
+            "existing_rdd_scans": len(re.findall(r"Scan ExistingRDD", plan)),
+            "broadcast_joins": len(re.findall(r"BroadcastHashJoin", plan)),
+            "range_scans": len(re.findall(r"Scan Range|Range \(", plan)),
+        },
+        "host_cal": host_calibration(),
+    }
+    Path("SPAN_SCALE.json").write_text(json.dumps(result, indent=2) + "\n")
+    print(json.dumps(result, indent=2))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -651,17 +651,24 @@ def remove_duplicated_spans(
     Returns (id, n_tokens, n_removed, text_clean); documents shorter
     than k tokens pass through untouched.
 
-    Scale shape: the positional-gram table is derived in ONE pass and
-    localCheckpoint-materialized (frequency agg + per-doc removal both
-    consume it); the frequency shuffle moves 32-byte hashes; the
-    frequent-gram inventory broadcasts; and the removal-index explode
-    multiplies only the DUPLICATED spans by k — never the corpus — so a
-    clean corpus pays one scan and a near-empty join.  Token excision is
-    an array HOF on the doc's own row (index-aware filter), no
-    token-level shuffle ever exists.
+    Scale shape: BOTH shared trunks are localCheckpoint-materialized —
+    the tokenized base (consumed by the gram derivation AND the final
+    rebuild join, so the corpus parquet is scanned ONCE, not once per
+    consumer) and the positional-gram table (consumed by the frequency
+    agg AND the removal join, so the md5 gram hashing runs once).  The
+    frequency shuffle moves 32-byte hashes; the frequent-gram inventory
+    broadcasts; and the removal-index explode multiplies only the
+    DUPLICATED spans by k — never the corpus — so a clean corpus pays
+    one scan and a near-empty join.  Token excision is an array HOF on
+    the doc's own row, no token-level shuffle ever exists.
     """
     toks_expr = F.split(_norm_text(F.col(text_col)), " ")
     base = docs.select(F.col(id_col), toks_expr.alias("__toks"))
+    if materialize:
+        from pyspark import StorageLevel
+
+        lvl = StorageLevel(True, True, False, False, 1)
+        base = base.localCheckpoint(eager=False, storageLevel=lvl)
     spans = base.select(
         F.col(id_col),
         F.posexplode(
@@ -677,11 +684,7 @@ def remove_duplicated_spans(
         ).alias("pos0", "gh"),
     )
     if materialize:
-        from pyspark import StorageLevel
-
-        spans = spans.localCheckpoint(
-            eager=False, storageLevel=StorageLevel(True, True, False, False, 1)
-        )
+        spans = spans.localCheckpoint(eager=False, storageLevel=lvl)
     freq = (
         spans.groupBy("gh")
         .agg(F.countDistinct(id_col).alias("n_docs"))
