@@ -21,6 +21,7 @@ def get_spark(
     executors: int | None = None,
     executor_cores: int = 2,
     executor_mem_mb: int = 20480,
+    extra_conf: dict | None = None,
 ) -> SparkSession:
     """Build (or fetch) a SparkSession.
 
@@ -124,6 +125,8 @@ def get_spark(
     )
     if local_dir:
         builder = builder.config("spark.local.dir", local_dir)
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
     spark = builder.getOrCreate()
     if executors is not None:
         # executor JVMs spawn their own python workers, which do not
