@@ -2695,13 +2695,13 @@ _SNAP_OLD_SQL = """
 SELECT DISTINCT 'p/' || CAST(l_partkey AS STRING) AS subj,
        'suppliedBy' AS pred,
        's/' || CAST(l_suppkey AS STRING) AS obj
-FROM lineitem WHERE l_shipdate < DATE '1995-01-01'
+FROM lineitem WHERE l_shipdate < DATE '1999-01-01'
 """
 _SNAP_NEW_SQL = """
 SELECT DISTINCT 'p/' || CAST(l_partkey AS STRING) AS subj,
        'suppliedBy' AS pred,
        's/' || CAST(l_suppkey AS STRING) AS obj
-FROM lineitem WHERE l_shipdate >= DATE '1993-06-01'
+FROM lineitem WHERE l_shipdate >= DATE '1996-06-01'
 """
 
 
