@@ -2801,6 +2801,50 @@ FROM c
 """
 
 
+def q_cdc_chunks(spark, sf_dir):
+    """dedup.cdc_chunks: content-defined chunking (rsync/LBFS boundaries
+    at token granularity, avg 16 tokens, 4-token context window) — the
+    sub-document dedup unit whose boundaries re-synchronize after
+    insertions.  All boundary/slice/hash work is array HOFs on the doc's
+    own row; the only shuffle in a CDC dedup flow is the downstream
+    chunk-hash aggregation."""
+    return D.cdc_chunks(
+        _t(spark, sf_dir, "documents"), avg_chunk_tokens=16, window=4
+    )
+
+
+# threshold literal: rate_to_threshold(1/16) — 1/16 is exact binary, so
+# the 64-bit hex gate is the same constant in every engine
+_ORACLE_KG["q_cdc_chunks"] = """
+WITH toks AS (
+    SELECT doc_id,
+           string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+    FROM documents
+),
+base AS (SELECT doc_id, t, len(t) AS n FROM toks),
+ends AS (
+    SELECT doc_id, t, n,
+        list_sort(list_filter(range(1, n), i ->
+            substring(md5('cdc:' ||
+                array_to_string(t[greatest(1, i - 3):i], ' ')), 1, 16)
+            < '1000000000000000')) AS ie
+    FROM base
+),
+chunks AS (
+    SELECT doc_id, j - 1 AS chunk_idx,
+        array_to_string(
+            t[(CASE WHEN j = 1 THEN 1 ELSE ie[j - 1] + 1 END):
+              (CASE WHEN j = len(ie) + 1 THEN n ELSE ie[j] END)], ' ')
+            AS chunk
+    FROM ends, unnest(range(1, len(ie) + 2)) AS u(j)
+    WHERE n >= 1
+)
+SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx, md5(chunk) AS chunk_hash,
+       len(string_split(chunk, ' ')) AS n_tokens
+FROM chunks
+"""
+
+
 def q_session_window(spark, sf_dir):
     """Spark's native session_window (gap 4h) in batch mode, cross-
     checked against an independent lag/cumsum SQL derivation.  Boundary
@@ -2925,6 +2969,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pack_offsets": q_pack_offsets,
         "q_snapshot_diff": q_snapshot_diff,
         "q_temperature_sample": q_temperature_sample,
+        "q_cdc_chunks": q_cdc_chunks,
     }
 
 

@@ -637,3 +637,59 @@ class TestTemperatureSampling:
         # T=2 upsamples the minority lang relative to natural share
         de = sum(1 for i in a if i >= 900)
         assert de / max(len(a), 1) > 0.1  # natural share is 0.1
+
+
+class TestCdcChunks:
+    def _chunks(self, spark, docs):
+        from collections import defaultdict
+        from wikdict_gen_spark.operators import dedup
+
+        by = defaultdict(list)
+        for r in dedup.cdc_chunks(docs, avg_chunk_tokens=16).collect():
+            by[r["doc_id"]].append((r["chunk_idx"], r["chunk_hash"], r["n_tokens"]))
+        return {d: sorted(v) for d, v in by.items()}
+
+    def test_boundaries_resync_after_insertion(self, spark):
+        import random
+
+        random.seed(7)
+        words = [f"tok{random.randrange(10**6)}" for _ in range(200)]
+        docs = spark.createDataFrame(
+            [(1, " ".join(words)),
+             (2, " ".join(["inserted", "words", "here"] + words))],
+            "doc_id long, text string",
+        )
+        by = self._chunks(spark, docs)
+        h1 = {h for _, h, _ in by[1]}
+        h2 = {h for _, h, _ in by[2]}
+        # token conservation through the chunking
+        assert sum(n for *_, n in by[1]) == 200
+        assert sum(n for *_, n in by[2]) == 203
+        # a 3-token PREFIX insertion leaves the vast majority of chunk
+        # hashes intact (boundaries re-synchronize) — fixed-size blocks
+        # would share none
+        assert len(h1 & h2) >= len(h1) - 2
+
+    def test_chunk_reassembly_and_determinism(self, spark):
+        import random
+
+        random.seed(11)
+        words = [f"w{random.randrange(10**6)}" for _ in range(120)]
+        docs = spark.createDataFrame(
+            [(1, " ".join(words))], "doc_id long, text string"
+        )
+        from wikdict_gen_spark.operators import dedup
+
+        a = self._chunks(spark, docs)[1]
+        b = self._chunks(spark, docs)[1]
+        assert a == b  # content-defined => deterministic
+        # contiguous 0-based chunk indices
+        assert [i for i, _, _ in a] == list(range(len(a)))
+
+    def test_tiny_docs_single_chunk(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "one"), (2, "two words")], "doc_id long, text string"
+        )
+        by = self._chunks(spark, docs)
+        assert len(by[1]) == 1 and by[1][0][2] == 1
+        assert len(by[2]) == 1 and by[2][0][2] == 2

@@ -723,3 +723,72 @@ def remove_duplicated_spans(
         F.size("__removed").alias("n_removed"),
         F.array_join(kept, " ").alias("text_clean"),
     )
+
+
+def cdc_chunks(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    avg_chunk_tokens: int = 16,
+    window: int = 4,
+) -> DataFrame:
+    """Content-defined chunking: split each document into variable-length
+    chunks whose boundaries depend only on LOCAL content — the rsync/LBFS
+    trick at token granularity.  A boundary falls after token i when the
+    hash of the `window`-token context ending at i lands in the bottom
+    1/avg_chunk_tokens of the hash space, so expected chunk length is
+    avg_chunk_tokens and, crucially, an insertion near the start of a
+    document perturbs only the chunk containing it: every later boundary
+    re-synchronizes, so downstream CHUNK-HASH dedup still matches the
+    unchanged remainder (fixed-size blocks lose alignment forever —
+    that asymmetry is the whole point of CDC).
+
+    Returns (id, chunk_idx, chunk_hash, n_tokens) — one row per chunk,
+    chunk_hash = md5 of the chunk's normalized token text.  Pair with a
+    groupBy(chunk_hash) to find sub-document duplication at storage
+    granularity.
+
+    Scale shape: boundary detection, chunk slicing and hashing are all
+    array HOFs on the document's own row — the ONLY shuffle in a CDC
+    dedup flow is the downstream chunk-hash aggregation, and what
+    shuffles is 32-byte hashes + counts, never chunk text.
+    """
+    from .sampling import rate_to_threshold
+
+    if avg_chunk_tokens < 2:
+        raise ValueError("avg_chunk_tokens must be >= 2")
+    thresh = rate_to_threshold(1.0 / avg_chunk_tokens)
+    toks = F.split(_norm_text(F.col(text_col)), " ")
+    n = F.size(toks)
+
+    def gate(i):
+        # hash of the `window`-token context ending at i (clamped at the
+        # doc start), salted so the gate is independent of chunk hashes
+        start = F.greatest(i - F.lit(window - 1), F.lit(1))
+        ctx = F.slice(toks, start, i - start + 1)
+        return F.substring(
+            F.md5(F.concat(F.lit("cdc:"), F.array_join(ctx, " "))), 1, 16
+        ) < F.lit(thresh)
+
+    inner_ends = F.when(
+        n >= 2, F.filter(F.sequence(F.lit(1), n - 1), gate)
+    ).otherwise(F.array().cast("array<int>"))
+    ends = F.concat(inner_ends, F.array(n))
+    starts = F.concat(
+        F.array(F.lit(1)), F.transform(inner_ends, lambda e: e + 1)
+    )
+    chunks = F.zip_with(
+        starts, ends, lambda s, e: F.array_join(F.slice(toks, s, e - s + 1), " ")
+    )
+    out = docs.select(
+        F.col(id_col),
+        F.posexplode(F.when(n >= 1, chunks).otherwise(
+            F.array().cast("array<string>")
+        )).alias("chunk_idx", "__chunk"),
+    )
+    return out.select(
+        id_col,
+        "chunk_idx",
+        F.md5("__chunk").alias("chunk_hash"),
+        F.size(F.split("__chunk", " ")).alias("n_tokens"),
+    )
