@@ -2845,6 +2845,34 @@ FROM chunks
 """
 
 
+def q_chunk_dup(spark, sf_dir):
+    """dedup.chunk_dup_stats: CDC-granular duplication — per document,
+    the fraction of its content-defined chunks whose hash recurs in >= 2
+    documents.  The duplicated_span_stats shape on a ~16x smaller table
+    (one chunk per ~16 tokens instead of one gram per token), offset-
+    robust because CDC boundaries re-synchronize."""
+    return D.chunk_dup_stats(
+        _t(spark, sf_dir, "documents"), avg_chunk_tokens=16, window=4,
+        min_docs=2,
+    )
+
+
+_ORACLE_KG["q_chunk_dup"] = f"""
+WITH chunktab AS ({_ORACLE_KG["q_cdc_chunks"]}),
+freq AS (
+    SELECT chunk_hash FROM chunktab
+    GROUP BY chunk_hash HAVING count(DISTINCT doc_id) >= 2
+)
+SELECT doc_id,
+    count(*) AS n_chunks,
+    CAST(sum(CASE WHEN chunk_hash IN (SELECT chunk_hash FROM freq)
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+    CAST(sum(CASE WHEN chunk_hash IN (SELECT chunk_hash FROM freq)
+                  THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS dup_chunk_frac
+FROM chunktab GROUP BY doc_id
+"""
+
+
 def q_session_window(spark, sf_dir):
     """Spark's native session_window (gap 4h) in batch mode, cross-
     checked against an independent lag/cumsum SQL derivation.  Boundary
@@ -2970,6 +2998,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_snapshot_diff": q_snapshot_diff,
         "q_temperature_sample": q_temperature_sample,
         "q_cdc_chunks": q_cdc_chunks,
+        "q_chunk_dup": q_chunk_dup,
     }
 
 

@@ -50,8 +50,13 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     ids = spark.range(n_docs).select(F.col("id").alias("doc_id"))
-    word = lambda i: F.substring(  # noqa: E731
-        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(f":{i}"))), 1, 6
+    # FULL 32-hex md5 words: at 600k docs x 30 words the 6-hex prefix
+    # space (16.7M) produces real birthday collisions — measured 432
+    # extra frequent-gram tokens from boundary grams whose one unique
+    # word collided across template docs.  32 hex makes the accidental-
+    # collision probability ~2^-90: ground truth is exact again.
+    word = lambda i: F.md5(  # noqa: E731
+        F.concat(F.col("doc_id").cast("string"), F.lit(f":{i}"))
     )
     rand_text = F.concat_ws(" ", *[word(i) for i in range(30)])
     template = "shared template tokens appear here eight words exactly"

@@ -693,3 +693,32 @@ class TestCdcChunks:
         by = self._chunks(spark, docs)
         assert len(by[1]) == 1 and by[1][0][2] == 1
         assert len(by[2]) == 1 and by[2][0][2] == 2
+
+
+class TestChunkDupStats:
+    def test_shared_run_detected_at_different_offsets(self, spark):
+        """The CDC advantage: the same long run is flagged even when it
+        sits at different token offsets in different docs."""
+        import random
+
+        random.seed(3)
+        shared = " ".join(f"s{random.randrange(10**6)}" for _ in range(60))
+        u1 = " ".join(f"a{random.randrange(10**6)}" for _ in range(37))
+        u2 = " ".join(f"b{random.randrange(10**6)}" for _ in range(11))
+        docs = spark.createDataFrame(
+            [(1, f"{u1} {shared}"), (2, f"{u2} {shared}"),
+             (3, " ".join(f"c{random.randrange(10**6)}" for _ in range(80)))],
+            "doc_id long, text string",
+        )
+        from wikdict_gen_spark.operators import dedup
+
+        out = {
+            r["doc_id"]: r
+            for r in dedup.chunk_dup_stats(docs, avg_chunk_tokens=16).collect()
+        }
+        # interior chunks of the shared run re-synchronize in both docs
+        assert out[1]["n_dup_chunks"] >= 1 and out[2]["n_dup_chunks"] >= 1
+        assert out[3]["n_dup_chunks"] == 0
+        assert out[1]["dup_chunk_frac"] == (
+            out[1]["n_dup_chunks"] / out[1]["n_chunks"]
+        )

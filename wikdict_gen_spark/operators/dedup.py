@@ -792,3 +792,56 @@ def cdc_chunks(
         F.md5("__chunk").alias("chunk_hash"),
         F.size(F.split("__chunk", " ")).alias("n_tokens"),
     )
+
+
+def chunk_dup_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    avg_chunk_tokens: int = 16,
+    window: int = 4,
+    min_docs: int = 2,
+) -> DataFrame:
+    """CDC-granular duplication: per document, how many of its
+    content-defined chunks also occur (by hash) in >= `min_docs`
+    documents — the storage-dedup view of corpus redundancy.  Because
+    CDC boundaries re-synchronize, this catches shared runs even when
+    they sit at different offsets in different documents, at a fraction
+    of the cost of the rolling-gram statistic: one chunk per ~16 tokens
+    instead of one gram per token.
+
+    Returns (id, n_chunks, n_dup_chunks, dup_chunk_frac).  One shuffle
+    of 32-byte chunk hashes for the frequency count, broadcast frequent
+    inventory, doc-keyed rollup — the duplicated_span_stats shape on a
+    16x smaller table.
+    """
+    chunks = cdc_chunks(docs, id_col, text_col, avg_chunk_tokens, window)
+    # shared-trunk discipline: both the frequency agg and the rollup
+    # consume the chunk table — materialize it once
+    from pyspark import StorageLevel
+
+    chunks = chunks.localCheckpoint(
+        eager=False, storageLevel=StorageLevel(True, True, False, False, 1)
+    )
+    freq = (
+        chunks.groupBy("chunk_hash")
+        .agg(F.countDistinct(id_col).alias("n_docs"))
+        .where(F.col("n_docs") >= F.lit(int(min_docs)))
+        .select("chunk_hash", F.lit(True).alias("is_dup"))
+    )
+    per_doc = (
+        chunks.join(F.broadcast(freq), "chunk_hash", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.col("is_dup").isNotNull().cast("long")).alias("n_dup_chunks"),
+        )
+    )
+    return per_doc.select(
+        id_col,
+        "n_chunks",
+        "n_dup_chunks",
+        (F.col("n_dup_chunks").cast("double") / F.col("n_chunks")).alias(
+            "dup_chunk_frac"
+        ),
+    )
