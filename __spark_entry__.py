@@ -29,6 +29,7 @@ from wikdict_gen_spark.operators import fuzzy as FZ
 from wikdict_gen_spark.operators import graph as G
 from wikdict_gen_spark.operators import infer as I
 from wikdict_gen_spark.operators import process as P
+from wikdict_gen_spark.operators.partitioning import widen_if_narrow
 from wikdict_gen_spark.operators import sampling as SM
 from wikdict_gen_spark.operators import similarity as S
 from wikdict_gen_spark.operators import skew as SK
@@ -37,7 +38,10 @@ from wikdict_gen_spark.operators import webclean as WC
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # one-row-group parquet (the testdata layout) scans as ONE task; widen
+    # before the per-row compute fused onto the scan goes single-threaded
+    # (no-op whenever the layout already planned >= cores partitions)
+    return widen_if_narrow(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
 
 
 # Shared derived inputs are localCheckpoint(eager=False)-memoized per

@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from wikdict_gen_spark.operators.partitioning import widen_if_narrow
+
 
 def _norm_text(col):
     """Normalization shared by all dedup ops: lowercase, collapse whitespace."""
@@ -58,7 +60,14 @@ def exact_dedup_rows(docs: DataFrame, id_col: str = "doc_id",
 
 def shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
              k: int = 3) -> DataFrame:
-    """Word k-gram shingles per document (distinct), via JVM-side array ops."""
+    """Word k-gram shingles per document (distinct), via JVM-side array ops.
+
+    The tokenize + k-gram + distinct chain is the heaviest narrow compute
+    in the dedup family and fuses onto the input's scan, so an
+    under-parallel layout (one-row-group parquet) would run it on one
+    task: widen first (no-op on any normally-laid-out input).
+    """
+    docs = widen_if_narrow(docs)
     toks = F.split(_norm_text(F.col(text_col)), " ")
     grams = F.transform(
         F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0))),

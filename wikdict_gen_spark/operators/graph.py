@@ -72,6 +72,10 @@ def pagerank(
     if materialize:
         nodes = nodes.persist(_CKPT_LEVEL)
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    if materialize:
+        # every iteration's dangling anti-join probes deg: unpersisted it
+        # would re-run the edge scan + groupBy once per step (ADVICE r5)
+        deg = deg.persist(_CKPT_LEVEL)
     # attach degrees once: each iteration then joins a (src, dst, deg)
     # table it never recomputes.  repartition("src") pins hash(src) so
     # every iteration's contribution join exchanges only the rank
