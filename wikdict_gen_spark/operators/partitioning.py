@@ -30,14 +30,37 @@ pins that.
 
 from __future__ import annotations
 
+import itertools
+
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_OBS_IDS = itertools.count()
 
 
 def widen_if_narrow(df: DataFrame, factor: int = 2) -> DataFrame:
     """Repartition ``df`` to factor*cores iff its physical partition count
     is below the cluster core count.  Plan-time only (no job): the
-    partition probe forces physical planning, not execution."""
+    partition probe forces physical planning, not execution.
+
+    The widened frame carries an ``observe`` (CollectMetrics) node as a
+    predicate-pushdown BARRIER.  Without it, Catalyst substitutes
+    derived-column filters (e.g. clean_corpus's quality gate — a
+    tokenize + stopword-scan CASE expression) and pushes them below the
+    repartition into the scan, which is exactly the 1-task stage the
+    widening exists to escape: the gate then evaluates serially at the
+    scan AND again in the parallel projection above (measured 3.05s vs
+    0.93s for the clean_corpus gate stage at sf1.0).  The barrier keeps
+    every downstream expression above the widening exchange.  Column
+    pruning is unaffected (verified: ReadSchema stays minimal), and
+    since the barrier exists only when the guard fires, scan-level
+    predicate pushdown on a normally-laid-out corpus is untouched.
+    The metric itself (a row count) is a by-product nothing consumes;
+    names are uniqued so one query may widen several inputs.
+    """
     cores = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < cores:
-        return df.repartition(cores * factor)
+        return df.repartition(cores * factor).observe(
+            f"__widen_{next(_OBS_IDS)}", F.count(F.lit(1))
+        )
     return df
