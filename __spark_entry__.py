@@ -1474,8 +1474,23 @@ def q_token_index(spark, sf_dir):
     is golden-tested in tests/test_display_export.py."""
     for name in ("part", "lineitem"):
         _t(spark, sf_dir, name).createOrReplaceTempView(name)
+    # _TOKFORM_SQL distincts 6M ('L'||partkey, 'form'||orderkey%50) STRING
+    # pairs; the string images are injective in the (bigint, bigint) pair,
+    # so distinct-then-concat is row-identical and the exchange carries 16
+    # bytes/row instead of ~35 (guide: narrower types through the shuffle).
+    # The oracle keeps the original string-distinct formulation.
+    form = (
+        _t(spark, sf_dir, "lineitem")
+        .select(F.col("l_partkey").alias("__pk"),
+                (F.col("l_orderkey") % 50).alias("__fk"))
+        .distinct()
+        .select(
+            F.concat(F.lit("L"), F.col("__pk")).alias("lexentry"),
+            F.concat(F.lit("form"), F.col("__fk")).alias("other_written"),
+        )
+    )
     idx = DS.inverted_token_index(
-        spark.sql(_TG_SQL), form=spark.sql(_TOKFORM_SQL), from_lang="de"
+        spark.sql(_TG_SQL), form=form, from_lang="de"
     )
     return idx.select("token", "written_rep", "rank")
 

@@ -99,8 +99,17 @@ def clean_corpus(
     pairs = D.lsh_candidate_pairs(sig, id_col=id_col,
                                   num_hashes=num_hashes, bands=bands,
                                   max_bucket_size=max_bucket_size)
+    # the verification join moves the candidate docs' shingle sets; hash
+    # the join key to 8-byte longs so the exchange carries keys, not gram
+    # text (guide: shuffle metadata, not payloads).  Jaccard here only
+    # feeds the >= threshold gate, and a cross-doc xxhash64 collision
+    # between DIFFERENT grams of a candidate pair (~|pairs| * |grams|^2 /
+    # 2^64 ~ 1e-10 at sandbox scale) is the only way a value could move;
+    # verified equal row-for-row against the string-keyed path on every
+    # testdata SF.
+    sh_keyed = sh.select(id_col, F.xxhash64("shingle").alias("shingle"))
     verified = D.ngram_jaccard(None, pairs, id_col=id_col,
-                               shingles_df=sh).where(
+                               shingles_df=sh_keyed).where(
         F.col("jaccard") >= F.lit(float(jaccard_threshold))
     )
     # greedy drop: id_b > id_a by construction of the pair list, so every

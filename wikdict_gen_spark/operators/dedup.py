@@ -330,7 +330,11 @@ def near_dup_clusters(
                              compact=compact)
     pairs = lsh_candidate_pairs(sig, id_col=id_col, num_hashes=num_hashes,
                                 bands=bands, max_bucket_size=max_bucket_size)
-    verified = ngram_jaccard(None, pairs, id_col=id_col, shingles_df=sh).where(
+    # hashed join keys for the threshold-gated verification (same
+    # rationale + collision analysis as corpus.clean_corpus)
+    sh_keyed = sh.select(id_col, F.xxhash64("shingle").alias("shingle"))
+    verified = ngram_jaccard(None, pairs, id_col=id_col,
+                             shingles_df=sh_keyed).where(
         F.col("jaccard") >= F.lit(float(jaccard_threshold))
     )
     edges = verified.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
