@@ -37,11 +37,31 @@ from wikdict_gen_spark.operators import textstats as T
 from wikdict_gen_spark.operators import webclean as WC
 
 
+# widened table reads, memoized per (application, sf_dir, table).  The
+# memo returns the SAME DataFrame object for repeated reads, which (a)
+# lets one query reference a table twice without tripping Spark's
+# duplicate-CollectMetrics check (same-instance reuse is the allowed
+# case), and (b) keeps the warm and timed bench builds of a query
+# plan-identical, so CacheManager matching of persisted subtrees
+# (pagerank's loop invariants) behaves exactly as it did before the
+# widening existed.  Nothing is persisted here — the frame is a plan,
+# recomputed wherever it is used.
+_WIDE: dict[tuple, DataFrame] = {}
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # one-row-group parquet (the testdata layout) scans as ONE task; widen
     # before the per-row compute fused onto the scan goes single-threaded
     # (no-op whenever the layout already planned >= cores partitions)
-    return widen_if_narrow(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
+    app = spark.sparkContext.applicationId
+    key = (app, sf_dir, name)
+    df = _WIDE.get(key)
+    if df is None:
+        for stale in [k for k in _WIDE if k[0] == app and k[1] != sf_dir]:
+            del _WIDE[stale]
+        df = widen_if_narrow(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
+        _WIDE[key] = df
+    return df
 
 
 # Shared derived inputs are localCheckpoint(eager=False)-memoized per
@@ -61,6 +81,7 @@ def clear_memo() -> None:
     unpersists checkpoint blocks once the last DataFrame reference is
     gone, so releasing the dict entries releases executor storage."""
     _MEMO.clear()
+    _WIDE.clear()
 
 
 def _memo(spark: SparkSession, sf_dir: str, key: str, build) -> DataFrame:

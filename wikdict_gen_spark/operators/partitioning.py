@@ -55,8 +55,16 @@ def widen_if_narrow(df: DataFrame, factor: int = 2) -> DataFrame:
     pruning is unaffected (verified: ReadSchema stays minimal), and
     since the barrier exists only when the guard fires, scan-level
     predicate pushdown on a normally-laid-out corpus is untouched.
-    The metric itself (a row count) is a by-product nothing consumes;
-    names are uniqued so one query may widen several inputs.
+    The metric itself (a row count) is a by-product nothing consumes.
+    Metric names are counter-unique per call; Spark rejects two
+    same-named CollectMetrics nodes unless they are the SAME DataFrame
+    instance, so callers that read one input several times must reuse
+    the returned frame rather than re-wrap (the entry reader memoizes
+    per (application, sf_dir, table) for exactly this reason — which
+    also keeps warm and timed bench builds plan-identical, preserving
+    CacheManager matching of persisted subtrees: per-call-distinct
+    plans cost q_pagerank's loop-invariant cache hits, measured
+    2.2s -> 5.1s).
     """
     cores = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < cores:
