@@ -318,6 +318,13 @@ class TestBM25:
              for r in ranking.bm25_scores(docs, ["dog", "dog"]).collect()}
         assert a == b
 
+    def test_empty_query_terms_raise_cleanly(self, spark):
+        from wikdict_gen_spark.operators import ranking
+
+        docs = spark.createDataFrame([(1, "cat")], "doc_id long, text string")
+        with pytest.raises(ValueError, match="non-empty"):
+            ranking.bm25_scores(docs, [])
+
     def test_rare_term_outscores_common(self, spark):
         from wikdict_gen_spark.operators import ranking
 
@@ -621,6 +628,19 @@ class TestTemperatureSampling:
         assert sharp["b"] == 1.0 and sharp["a"] < 0.01
         # zero-count stratum keeps nothing
         assert temperature_rates({"a": 0, "b": 5}, 1.0, 3)["a"] == 0.0
+
+    def test_rates_exact_path_overflow_guard(self):
+        import pytest
+
+        from wikdict_gen_spark.operators.sampling import temperature_rates
+
+        # integral-alpha operands past 2^53 lose cross-engine bit parity;
+        # the exact path must refuse loudly rather than silently drift
+        with pytest.raises(ValueError, match="2\\^53"):
+            temperature_rates({"a": 2**30}, temperature=0.5,
+                              target_total=2**30)
+        # same magnitudes on the float path (non-integral alpha) are fine
+        assert temperature_rates({"a": 2**30}, 0.4, 2**30)["a"] == 1.0
 
     def test_sample_is_deterministic_and_balanced(self, spark):
         from wikdict_gen_spark.operators.sampling import temperature_sample

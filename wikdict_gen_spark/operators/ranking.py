@@ -43,6 +43,10 @@ def bm25_scores(
     mean, so the value is engine-reproducible.
     """
     terms = sorted(set(query_terms))
+    if not terms:
+        # Column.isin() with zero arguments dies deep in py4j; surface
+        # the caller's mistake at the API boundary instead
+        raise ValueError("bm25_scores: query_terms must be non-empty")
     toks = _tokens(F.col(text_col))
     base = docs.select(
         F.col(id_col), F.explode(toks).alias("term"),

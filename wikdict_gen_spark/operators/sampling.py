@@ -111,6 +111,20 @@ def temperature_rates(
         z_i = sum(powed_i.values())
         if z_i == 0:
             return {s: 0.0 for s in counts}
+        # the engine-portability claim above holds only while every
+        # operand of the exact division is itself exactly representable
+        # as a double; past 2^53 an engine that casts each operand to
+        # double before dividing (the oracle does) can drift 1 ulp and
+        # silently flip borderline gate rows — fail loudly instead
+        for s in powed_i:
+            if target_total * powed_i[s] > 2**53 or z_i * counts[s] > 2**53:
+                raise ValueError(
+                    "temperature_rates: exact-integer operands exceed 2^53 "
+                    f"(stratum {s!r}, counts up to {max(counts.values())}); "
+                    "the bit-for-bit cross-engine parity of the integral-"
+                    "alpha path no longer holds at this corpus size — "
+                    "pin explicit rates via stratified_sample instead"
+                )
         return {
             s: (min(1.0, (target_total * powed_i[s]) / (z_i * counts[s]))
                 if s in powed_i else 0.0)

@@ -108,10 +108,26 @@ def get_spark(
                 os.environ.get("SPARK_GRAFT_LOCALITY_WAIT", "500ms"))
         # many-stage pipelines generate hundreds of codegen classes; the
         # default 240m code cache fills and the JIT stops compiling, which
-        # silently triples stage times late in a run
+        # silently triples stage times late in a run.  GC stays at the JVM
+        # default (G1) but is a knob (SPARK_GRAFT_GC_OPTS): measured this
+        # round, ParallelGC is ~30% faster on an isolated explode->
+        # serialized-checkpoint trunk materialization (records, GC-bound:
+        # 210s of 799s task time under G1) yet a wash on the full fused
+        # pipeline and ~10% SLOWER on the sf1.0-scale headline suite
+        # (q_token_index 7.1s vs 5.0s, q_topk_mean_norm 4.9 vs 4.2 —
+        # old-gen churn from wide aggregations suits G1's regioned heap);
+        # G1 is the right default, the knob records the trade.
         .config(
             "spark.driver.extraJavaOptions",
-            "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing",
+            ("-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing "
+             + os.environ.get("SPARK_GRAFT_GC_OPTS", "")).strip(),
+        )
+        # same JIT/GC regime in separate executor JVMs (local-cluster mode;
+        # no-op under local[k] where driver == executor)
+        .config(
+            "spark.executor.extraJavaOptions",
+            ("-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing "
+             + os.environ.get("SPARK_GRAFT_GC_OPTS", "")).strip(),
         )
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
         .config("spark.ui.enabled", "false")
